@@ -1,0 +1,172 @@
+"""Environment parity tests.
+
+The jitted pure-function env is checked step-for-step against a literal NumPy
+oracle of the reference ``MethaneEnv.step`` (PPOV1.1/environment.py:82-168)
+evaluated on the materialized analytic field, with identical turbulence
+displacement draws.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_plume.core.config import EnvConfig, get_preset
+from tpu_plume.env import methane
+from tpu_plume.fields.analytic import materialize_fields
+
+CFG = EnvConfig(max_steps=50, plume_sigma=500 / 16)
+
+
+def _np_reference_step(cfg, conc_field, tke_field, source, pos, t, visited,
+                       action, turb_randn, radius, explore_bonus):
+    """Literal NumPy mirror of the reference step()."""
+    g = cfg.grid_size
+    move_step = g * cfg.move_frac
+    tke_norm = cfg.turbulence_intensity * 3.0
+    t += 1
+
+    px = int(np.clip(int(pos[0]), 0, g - 1))
+    py = int(np.clip(int(pos[1]), 0, g - 1))
+    prev_conc = conc_field[px, py] / cfg.conc_peak
+
+    dx, dy = [(0, 0), (0, move_step), (0, -move_step),
+              (move_step, 0), (-move_step, 0)][action]
+    move_magnitude = np.linalg.norm([dx, dy]) / move_step
+    move_penalty = -0.15 * (1 - move_magnitude)
+
+    turb = move_step * 0.2 * turb_randn * tke_field[px, py] / tke_norm
+    new_pos = np.clip(pos + np.array([dx, dy]) + turb, 0, g - cfg.clip_edge_eps)
+
+    cx = int(np.clip(int(new_pos[0]), 0, g - 1))
+    cy = int(np.clip(int(new_pos[1]), 0, g - 1))
+    cur_conc = conc_field[cx, cy] / cfg.conc_peak
+    grad = (cur_conc - prev_conc) / (np.linalg.norm([dx, dy]) + 1e-6)
+    bdist = min(new_pos[0] / g, (g - new_pos[0]) / g,
+                new_pos[1] / g, (g - new_pos[1]) / g)
+    if bdist < cfg.boundary_decay_start and grad < -0.01:
+        boundary_penalty = -cfg.boundary_penalty * (cfg.boundary_decay_start - bdist) ** 2
+    else:
+        boundary_penalty = 0.0
+
+    gx, gy = int(new_pos[0] // cfg.cell_size), int(new_pos[1] // cfg.cell_size)
+    visited[(gx, gy)] = visited.get((gx, gy), 0) + 1
+    visits = visited[(gx, gy)]
+    explore_level = min(visits / 5.0, 1.0)
+    explore_reward = explore_bonus * (1 - explore_level) / (visits ** 0.75 + 1)
+
+    tke_n = tke_field[cx, cy] / tke_norm
+    total = (cfg.conc_reward_coef * cur_conc + explore_reward + move_penalty
+             - cfg.tke_penalty_factor * tke_n + boundary_penalty)
+    dist = np.linalg.norm(new_pos - source)
+    reached = dist <= radius
+    if reached:
+        total += min(500, 150 * (cfg.initial_radius / radius))
+    done = t >= cfg.max_steps or reached
+    obs = np.array([new_pos[0] / g, new_pos[1] / g, cur_conc, tke_n,
+                    t / cfg.max_steps, explore_level], np.float32)
+    return new_pos, t, obs, total, done
+
+
+def test_step_matches_numpy_oracle():
+    key = jax.random.PRNGKey(0)
+    state, obs = methane.reset(key, CFG)
+    conc_field, tke_field = map(np.asarray, materialize_fields(state.field, CFG))
+    source = np.asarray(state.field.source)
+
+    step_fn = jax.jit(methane.step, static_argnames="cfg")
+    rng = np.random.RandomState(1)
+    pos, t, visited = np.zeros(2), 0, {}
+    for i in range(40):
+        action = int(rng.randint(5))
+        key, sub = jax.random.split(key)
+        turb_randn = np.asarray(jax.random.normal(sub, (2,), jnp.float32))
+        state, trans = step_fn(state, jnp.int32(action), sub, CFG)
+        pos, t, ref_obs, ref_reward, ref_done = _np_reference_step(
+            CFG, conc_field, tke_field, source, pos, t, visited,
+            action, turb_randn, CFG.initial_radius, CFG.explore_bonus_init)
+        np.testing.assert_allclose(np.asarray(trans.obs), ref_obs, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(float(trans.reward), ref_reward, rtol=2e-5, atol=2e-5)
+        assert bool(trans.done) == ref_done
+        np.testing.assert_allclose(np.asarray(state.pos), pos, rtol=1e-5, atol=1e-4)
+        if ref_done:
+            break
+
+
+def test_reset_contract():
+    state, obs = methane.reset(jax.random.PRNGKey(3), CFG)
+    assert obs.shape == (6,)
+    # agent at origin; source within padding box
+    assert np.allclose(np.asarray(state.pos), 0.0)
+    src = np.asarray(state.field.source)
+    assert np.all(src >= CFG.source_padding) and np.all(src <= CFG.grid_size - CFG.source_padding)
+    # t=0, no visits yet -> explore_level 0
+    assert float(obs[4]) == 0.0 and float(obs[5]) == 0.0
+
+
+def test_reward_decomposition_sums():
+    key = jax.random.PRNGKey(7)
+    state, _ = methane.reset(key, CFG)
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        state, tr = methane.step(state, jnp.int32(i % 5), sub, CFG)
+        parts = (tr.info.concentration_reward + tr.info.explore_reward +
+                 tr.info.move_penalty + tr.info.tke_penalty + tr.info.boundary_penalty)
+        bonus = np.where(bool(tr.info.reached),
+                         min(500.0, 150.0 * CFG.initial_radius / float(state.radius)), 0.0)
+        np.testing.assert_allclose(float(tr.reward), float(parts) + bonus, rtol=1e-5, atol=1e-5)
+
+
+def test_vmap_and_auto_reset():
+    n = 16
+    cfg = EnvConfig(max_steps=5, plume_sigma=500 / 16)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    reset_v = jax.vmap(lambda k: methane.reset(k, cfg))
+    states, obs = reset_v(keys)
+    assert obs.shape == (n, 6)
+
+    def one(state, key):
+        a_key, s_key, r_key = jax.random.split(key, 3)
+        action = jax.random.randint(a_key, (), 0, 5)
+        state, tr = methane.step(state, action, s_key, cfg)
+        state, next_obs = methane.auto_reset(state, tr.obs, tr.done, r_key, cfg)
+        return state, tr, next_obs
+
+    step_v = jax.jit(jax.vmap(one))
+    for i in range(7):
+        keys = jax.random.split(jax.random.PRNGKey(100 + i), n)
+        states, tr, obs = step_v(states, keys)
+    # after 5+ steps every env must have auto-reset at least once -> t < max_steps
+    assert np.all(np.asarray(states.t) < cfg.max_steps)
+    # envs that just reset have pos at origin and obs matching a fresh reset
+    done = np.asarray(tr.done)
+    if done.any():
+        idx = int(np.argmax(done))
+        assert np.allclose(np.asarray(states.pos)[idx], 0.0)
+
+
+def test_elastic_walls_v1_0():
+    cfg = get_preset("ppo_v1_0").env
+    key = jax.random.PRNGKey(0)
+    state, _ = methane.reset(key, cfg)
+    # force agent near the wall and push outward repeatedly
+    state = state.replace(pos=jnp.array([1.0, 250.0], jnp.float32))
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        state, tr = methane.step(state, jnp.int32(4), sub, cfg)  # -x
+        p = np.asarray(state.pos)
+        assert 0.0 <= p[0] <= cfg.grid_size and 0.0 <= p[1] <= cfg.grid_size
+
+
+def test_field_statistics():
+    """Field matches the reference formula statistics: clip bounds, peak at
+    the source, turbulence magnitude."""
+    cfg = CFG
+    state, _ = methane.reset(jax.random.PRNGKey(11), cfg)
+    conc, tke = map(np.asarray, materialize_fields(state.field, cfg))
+    assert conc.min() >= 0.0 and conc.max() <= cfg.conc_peak
+    sx, sy = np.asarray(state.field.source)
+    assert conc[int(sx), int(sy)] > 0.9 * cfg.conc_peak
+    # turbulence mean: TI * (E|N| + 0.2*0.5) ~ 3*(0.798+0.1) = 2.69 (wave term
+    # averages ~0 over the grid)
+    assert abs(tke.mean() - cfg.turbulence_intensity * (np.sqrt(2 / np.pi) + 0.1)) < 0.1

@@ -1,0 +1,250 @@
+"""Typed configuration for the tpu-plume framework.
+
+The reference expresses configuration as per-version copies of a flat
+``config.py`` constants module (reference: PPOV1.1/config.py:1-37,
+PPOV2.0/config.py:1-46, PPOV2.1/config.py:1-44; inlined in PPOV1.0/ppo0.0.py
+and PPOV1.2).  Here every knob becomes a field on a frozen dataclass so that
+configs are hashable (usable as jit static arguments) and the five reference
+generations become named presets: ``ppo_v1_0`` ... ``ppo_v2_1`` plus the
+WRF-LES north-star config ``wrf_les``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    """Methane-plume environment knobs.
+
+    Field semantics follow the reference env (PPOV1.1/environment.py:18-168,
+    PPOV2.1/environment.py:19-178, PPOV1.0/ppo0.0.py:64-198); version
+    differences are expressed as flags rather than code copies.
+    """
+
+    # Domain / episode (reference config.py: GRID_SIZE, MAX_STEPS)
+    grid_size: int = 500
+    max_steps: int = 1000
+
+    # Plume field (reference: _generate_plume)
+    conc_peak: float = 100.0           # CONC_PEAK / PEAK_CONCENTRATION
+    plume_sigma: float = 31.25         # grid_size/16 in V1.x; GAUSSIAN_RADIUS=15.0 in V2.1
+    turbulence_intensity: float = 3.0  # TURBULENCE_INTENSITY
+    source_padding: float = 50.0       # reset(): source ~ U(padding, grid-padding)^2
+    # V1.0 uses signed randn for the turbulence normal term and
+    # tke_field = |turbulence| * 2 (PPOV1.0/ppo0.0.py:108-114); V1.1+ uses
+    # |randn| and tke_field = turbulence (PPOV1.1/environment.py:56-62).
+    turbulence_signed_normal: bool = False
+    tke_abs_times_two: bool = False
+
+    # Kinematics (reference: step())
+    move_frac: float = 0.05            # move_step = grid_size * move_frac
+    turb_displacement_coef: float = 0.2
+    # V1.0 has elastic/bounce-back walls (ppo0.0.py:152-154); V1.1 clips to
+    # grid-1e-6 (environment.py:105); V2.x clips to grid-1
+    # (PPOV2.0/environment.py:105, PPOV2.1/environment.py:112).
+    elastic_walls: bool = False
+    clip_edge_eps: float = 1.0         # pos clipped to [0, grid_size - clip_edge_eps]
+
+    # Exploration grid (reference: GRID_DIVISIONS, EXPLORE_BONUS)
+    grid_divisions: int = 10
+    explore_bonus_init: float = 0.6
+    explore_visit_norm: float = 5.0    # explore_level = min(visits/5, 1)
+    explore_visit_pow: float = 0.75    # explore_reward ~ 1/(visits^0.75 + 1)
+
+    # Reward shaping (reference config.py:34-37 and step():139-151)
+    conc_reward_coef: float = 2.0
+    move_penalty_coef: float = 0.15
+    tke_penalty_factor: float = 0.4
+    boundary_penalty: float = 0.1
+    boundary_decay_start: float = 0.15
+    boundary_gradient_gate: float = -0.01
+    terminal_bonus_cap: float = 500.0
+    terminal_bonus_coef: float = 150.0
+
+    # Curriculum success radius (reference: INITIAL_RADIUS)
+    initial_radius: float = 50.0
+
+    @property
+    def move_step(self) -> float:
+        return self.grid_size * self.move_frac
+
+    @property
+    def cell_size(self) -> int:
+        return self.grid_size // self.grid_divisions
+
+    @property
+    def obs_dim(self) -> int:
+        return 6
+
+    @property
+    def num_actions(self) -> int:
+        return 5
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    """PPO hyperparameters (reference config.py:11-18 and the _update_model
+    implementations, e.g. PPOV2.0/train_ppo2.0.py:15-88)."""
+
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_epsilon: float = 0.2
+    entropy_beta: float = 0.01
+    learning_rate: float = 3e-5
+    minibatch_size: int = 256
+    epochs: int = 5
+    max_grad_norm: float = 0.5
+    value_loss_coef: float = 0.5
+    adv_norm_eps: float = 1e-6
+    # The reference computes returns from *normalized* advantages
+    # (PPOV2.0/train_ppo2.0.py:34-40) — a known quirk.  Default is the
+    # corrected behavior (returns from raw advantages); set bug_compat_returns
+    # to reproduce the reference exactly.
+    bug_compat_returns: bool = False
+
+
+@dataclass(frozen=True)
+class CurriculumConfig:
+    """Success-rate-windowed curriculum on the goal radius plus
+    exploration-bonus decay (reference: PPOTrainer.update,
+    PPOV1.1/model.py:121-164; constants config.py:20-31)."""
+
+    initial_radius: float = 50.0
+    min_radius: float = 5.0
+    radius_decay: float = 0.9
+    success_threshold: float = 0.6
+    window_size: int = 120
+    expand_below: float = 0.25
+    expand_rate: float = 1.1
+    anti_oscillation_clamp: float = 5.0
+    explore_decay_factor: float = 0.999
+    explore_bonus_floor: float = 0.1
+
+
+@dataclass(frozen=True)
+class RolloutConfig:
+    """On-device rollout geometry — a new capability (the reference steps a
+    single env in a Python loop; SURVEY.md §2.3)."""
+
+    num_envs: int = 4096
+    unroll_length: int = 128   # steps per env per learner update
+
+
+@dataclass(frozen=True)
+class StopConfig:
+    """Dynamic-stop subsystem knobs (reference: PPOV2.0/config.py:39-44,
+    PPOV2.0/evaluate_with_lstm.py:10-37, PPOV2.1/evaluate_with_lstm.py:73-81)."""
+
+    training_window: int = 10      # TRAINING_SIZE (V2.0 last-N conc window)
+    evaluate_window: int = 10      # EVALUATE_SIZE
+    min_activate_steps: int = 20   # 2 * EVALUATE_SIZE
+    threshold_scale: float = 0.95  # predicted source conc * 0.95 -> threshold
+    peak_stop_window: int = 20     # V2.1 last-20 window
+    peak_stop_prob: float = 0.8    # V2.1 stop gate
+    conc_norm: float = 100.0       # V2.1 window / 100.0
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation harness knobs (reference: PPOV2.0/config.py:43,
+    PPOV2.1/evaluate_with_lstm.py:88, PPOV1.1/evaluate_model.py:15-17)."""
+
+    episodes: int = 1000
+    success_distance: float = 40.0   # SUCCESS_DISTANCE_THRESHOLD (V2.0); 50 in V2.1
+    # V1.1 heuristic stop: std of last-10 positions < 2.0 and conc > 0.8*peak
+    heuristic_position_window: int = 10
+    heuristic_stability_threshold: float = 2.0
+    heuristic_conc_frac: float = 0.8
+    max_eval_steps: int = 2000       # V1.1 evaluator guard (evaluate_model.py:52)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Top-level bundle for a training run."""
+
+    name: str = "ppo_v2_0"
+    env: EnvConfig = EnvConfig()
+    ppo: PPOConfig = PPOConfig()
+    curriculum: CurriculumConfig = CurriculumConfig()
+    rollout: RolloutConfig = RolloutConfig()
+    stop: StopConfig = StopConfig()
+    eval: EvalConfig = EvalConfig()
+    total_episodes: int = 2000     # reference trains 2000 episodes
+    seed: int = 0
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _v1_0() -> TrainConfig:
+    """PPOV1.0: single-file baseline (PPOV1.0/ppo0.0.py:17-41, 64-198)."""
+    return TrainConfig(
+        name="ppo_v1_0",
+        env=EnvConfig(
+            max_steps=5000,
+            plume_sigma=500 / 16,
+            turbulence_signed_normal=True,
+            tke_abs_times_two=True,
+            elastic_walls=True,
+        ),
+        rollout=RolloutConfig(num_envs=256, unroll_length=128),
+    )
+
+
+def _v1_1() -> TrainConfig:
+    """PPOV1.1: modular PPO + GAIL (PPOV1.1/config.py:1-37)."""
+    return TrainConfig(
+        name="ppo_v1_1",
+        env=EnvConfig(max_steps=5000, plume_sigma=500 / 16, clip_edge_eps=1e-6),
+        rollout=RolloutConfig(num_envs=256, unroll_length=128),
+    )
+
+
+def _v2_0() -> TrainConfig:
+    """PPOV2.0: LSTM dynamic stop-threshold (PPOV2.0/config.py:1-46)."""
+    return TrainConfig(
+        name="ppo_v2_0",
+        env=EnvConfig(max_steps=1000, plume_sigma=500 / 16),
+        eval=EvalConfig(success_distance=40.0),
+    )
+
+
+def _v2_1() -> TrainConfig:
+    """PPOV2.1: parameterized Gaussian + joint peak+stop LSTM
+    (PPOV2.1/config.py:1-44, PPOV2.1/environment.py:52-69)."""
+    return TrainConfig(
+        name="ppo_v2_1",
+        env=EnvConfig(max_steps=1000, plume_sigma=15.0),
+        eval=EvalConfig(success_distance=50.0),
+        stop=StopConfig(peak_stop_window=20, peak_stop_prob=0.8),
+    )
+
+
+def _wrf_les() -> TrainConfig:
+    """North-star config: anisotropic Gaussian dispersion sigma_y=0.3 x^0.71
+    with wind advection (README.md:97 of the reference — specified but never
+    implemented there), backed by gridded/WRF-LES fields."""
+    return TrainConfig(
+        name="wrf_les",
+        env=EnvConfig(max_steps=1000, plume_sigma=15.0),
+        rollout=RolloutConfig(num_envs=4096, unroll_length=128),
+    )
+
+
+PRESETS = {
+    "ppo_v1_0": _v1_0,
+    "ppo_v1_1": _v1_1,
+    "ppo_v2_0": _v2_0,
+    "ppo_v2_1": _v2_1,
+    "wrf_les": _wrf_les,
+}
+
+
+def get_preset(name: str) -> TrainConfig:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

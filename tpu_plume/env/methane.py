@@ -1,0 +1,250 @@
+"""MethaneEnv as pure JAX functions.
+
+A TPU-native re-design of the reference's ``MethaneEnv(gym.Env)``
+(PPOV1.1/environment.py:18-168, PPOV2.1/environment.py:19-178,
+PPOV1.0/ppo0.0.py:64-198).  Instead of a stateful object stepped from Python,
+the environment is a pair of pure functions
+
+    reset(key, cfg, radius, explore_bonus)      -> (EnvState, obs)
+    step(state, action, key, cfg)               -> (EnvState, Transition)
+
+that ``jax.vmap`` over thousands of parallel envs and run inside a jitted
+``lax.scan`` rollout fused with policy inference.  All reference semantics are
+preserved at the per-step level, including the shaped-reward decomposition
+exposed through the ``info`` dict (environment.py:161-167) — here a
+``RewardInfo`` struct.
+
+Observation layout (environment.py:64-80), all nominally in [0, 1]:
+    [x/G, y/G, conc/peak, tke/(3*TI), t/max_steps, explore_level]
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpu_plume.core.config import EnvConfig
+from tpu_plume.fields.analytic import FieldState, new_field, sample_conc_tke
+
+
+@struct.dataclass
+class EnvState:
+    pos: jnp.ndarray           # f32[2] agent position
+    t: jnp.ndarray             # i32 step count within episode
+    visited: jnp.ndarray       # i32[D, D] per-cell visit counts
+    field: FieldState          # per-episode plume
+    radius: jnp.ndarray        # f32 curriculum success radius
+    explore_bonus: jnp.ndarray # f32 curriculum exploration bonus
+
+
+@struct.dataclass
+class RewardInfo:
+    """Per-step reward decomposition (reference info dict,
+    PPOV1.1/environment.py:161-167) plus terminal diagnostics."""
+
+    concentration_reward: jnp.ndarray
+    explore_reward: jnp.ndarray
+    move_penalty: jnp.ndarray
+    tke_penalty: jnp.ndarray
+    boundary_penalty: jnp.ndarray
+    reached: jnp.ndarray       # bool: within curriculum radius this step
+    distance: jnp.ndarray      # f32 distance to source after the move
+    conc_raw: jnp.ndarray      # unnormalized concentration at the new cell
+
+
+@struct.dataclass
+class Transition:
+    obs: jnp.ndarray           # f32[6] observation after the step
+    reward: jnp.ndarray        # f32 total shaped reward
+    done: jnp.ndarray          # bool: reached or max_steps
+    info: RewardInfo
+
+
+def _cell(pos: jnp.ndarray, cfg: EnvConfig):
+    """Integer grid cell for a float position (reference:
+    ``np.clip(int(pos), 0, grid-1)``; positions are >= 0 so trunc == floor)."""
+    ij = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, cfg.grid_size - 1)
+    return ij[0], ij[1]
+
+
+def _explore_cell(pos: jnp.ndarray, cfg: EnvConfig):
+    c = jnp.clip(
+        jnp.floor(pos / cfg.cell_size).astype(jnp.int32), 0, cfg.grid_divisions - 1
+    )
+    return c[0], c[1]
+
+
+def observe(state: EnvState, cfg: EnvConfig) -> jnp.ndarray:
+    """Reference ``_get_obs`` (PPOV1.1/environment.py:64-80)."""
+    ix, iy = _cell(state.pos, cfg)
+    conc, tke = sample_conc_tke(state.field, ix, iy, cfg)
+    cx, cy = _explore_cell(state.pos, cfg)
+    visits = state.visited[cx, cy].astype(jnp.float32)
+    explore_level = jnp.minimum(visits / cfg.explore_visit_norm, 1.0)
+    return jnp.stack(
+        [
+            state.pos[0] / cfg.grid_size,
+            state.pos[1] / cfg.grid_size,
+            conc / cfg.conc_peak,
+            tke / (cfg.turbulence_intensity * 3.0),
+            state.t.astype(jnp.float32) / cfg.max_steps,
+            explore_level,
+        ]
+    ).astype(jnp.float32)
+
+
+def reset(
+    key: jax.Array,
+    cfg: EnvConfig,
+    radius: jnp.ndarray | float | None = None,
+    explore_bonus: jnp.ndarray | float | None = None,
+):
+    """Reference ``reset`` (PPOV1.1/environment.py:41-49): fresh source +
+    field, agent at the origin, cleared visit grid.  Curriculum values are
+    carried in the state so vmapped auto-resets preserve them."""
+    if radius is None:
+        radius = cfg.initial_radius
+    if explore_bonus is None:
+        explore_bonus = cfg.explore_bonus_init
+    d = cfg.grid_divisions
+    state = EnvState(
+        pos=jnp.zeros(2, jnp.float32),
+        t=jnp.zeros((), jnp.int32),
+        visited=jnp.zeros((d, d), jnp.int32),
+        field=new_field(key, cfg),
+        radius=jnp.asarray(radius, jnp.float32),
+        explore_bonus=jnp.asarray(explore_bonus, jnp.float32),
+    )
+    return state, observe(state, cfg)
+
+
+# Action table (reference step(): stay / +y / -y / +x / -x, environment.py:91-93).
+def _action_delta(action: jnp.ndarray, move_step: float) -> jnp.ndarray:
+    table = jnp.array(
+        [[0.0, 0.0], [0.0, 1.0], [0.0, -1.0], [1.0, 0.0], [-1.0, 0.0]],
+        jnp.float32,
+    ) * jnp.float32(move_step)
+    return table[action]
+
+
+def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig):
+    """Reference ``step`` (PPOV1.1/environment.py:82-168), order-faithful."""
+    g = float(cfg.grid_size)
+    move_step = cfg.move_step
+    tke_norm = cfg.turbulence_intensity * 3.0
+
+    t_new = state.t + 1
+
+    # Concentration before the move, at the old cell (lines 86-88).
+    ix0, iy0 = _cell(state.pos, cfg)
+    prev_conc, prev_tke = sample_conc_tke(state.field, ix0, iy0, cfg)
+    prev_conc_n = prev_conc / cfg.conc_peak
+
+    # Deterministic displacement + move penalty (lines 91-95).
+    delta = _action_delta(action, move_step)
+    delta_norm = jnp.linalg.norm(delta)
+    move_magnitude = delta_norm / move_step
+    move_penalty = -cfg.move_penalty_coef * (1.0 - move_magnitude)
+
+    # Stochastic turbulence displacement from TKE at the old cell (lines 98-101).
+    turb_eff = (
+        move_step
+        * cfg.turb_displacement_coef
+        * jax.random.normal(key, (2,), jnp.float32)
+        * prev_tke
+        / tke_norm
+    )
+    raw = state.pos + delta + turb_eff
+
+    if cfg.elastic_walls:
+        # V1.0 bounce-back walls (PPOV1.0/ppo0.0.py:151-154): clip to a 10%
+        # margin, then revert the whole move if any coordinate left the domain.
+        cand = jnp.clip(raw, -0.1 * g, 1.1 * g)
+        out = jnp.any((cand < 0.0) | (cand > g))
+        new_pos = jnp.where(out, state.pos, cand)
+    else:
+        new_pos = jnp.clip(raw, 0.0, g - cfg.clip_edge_eps)
+
+    # Boundary penalty: fires near a wall while moving down-gradient
+    # (lines 108-124).
+    ix1, iy1 = _cell(new_pos, cfg)
+    cur_conc, cur_tke = sample_conc_tke(state.field, ix1, iy1, cfg)
+    cur_conc_n = cur_conc / cfg.conc_peak
+    conc_gradient = (cur_conc_n - prev_conc_n) / (delta_norm + 1e-6)
+    boundary_dist = jnp.minimum(
+        jnp.minimum(new_pos[0], g - new_pos[0]),
+        jnp.minimum(new_pos[1], g - new_pos[1]),
+    ) / g
+    boundary_penalty = jnp.where(
+        (boundary_dist < cfg.boundary_decay_start)
+        & (conc_gradient < cfg.boundary_gradient_gate),
+        -cfg.boundary_penalty * (cfg.boundary_decay_start - boundary_dist) ** 2,
+        0.0,
+    )
+
+    # Exploration bookkeeping at the new cell (lines 126-133): the visit is
+    # counted first, then both the explore_level and the 1/(visits^0.75 + 1)
+    # attenuation read the post-increment count.
+    cx, cy = _explore_cell(new_pos, cfg)
+    visited = state.visited.at[cx, cy].add(1)
+    visits = visited[cx, cy].astype(jnp.float32)
+    explore_level = jnp.minimum(visits / cfg.explore_visit_norm, 1.0)
+    explore_reward = (
+        state.explore_bonus * (1.0 - explore_level)
+        / (visits**cfg.explore_visit_pow + 1.0)
+    )
+
+    new_state = state.replace(pos=new_pos.astype(jnp.float32), t=t_new, visited=visited)
+    obs = observe(new_state, cfg)
+
+    tke_n = cur_tke / tke_norm
+    conc_reward = cfg.conc_reward_coef * cur_conc_n
+    tke_penalty = -cfg.tke_penalty_factor * tke_n
+    total_reward = (
+        conc_reward + explore_reward + move_penalty + tke_penalty + boundary_penalty
+    )
+
+    # Terminal bonus within the curriculum radius (lines 147-151).
+    distance = jnp.linalg.norm(new_pos - state.field.source)
+    reached = distance <= state.radius
+    terminal_bonus = jnp.minimum(
+        cfg.terminal_bonus_cap,
+        cfg.terminal_bonus_coef * (cfg.initial_radius / state.radius),
+    )
+    total_reward = total_reward + jnp.where(reached, terminal_bonus, 0.0)
+
+    done = (t_new >= cfg.max_steps) | reached
+
+    info = RewardInfo(
+        concentration_reward=conc_reward,
+        explore_reward=explore_reward,
+        move_penalty=move_penalty,
+        tke_penalty=tke_penalty,
+        boundary_penalty=boundary_penalty,
+        reached=reached,
+        distance=distance,
+        conc_raw=cur_conc,
+    )
+    return new_state, Transition(
+        obs=obs, reward=total_reward.astype(jnp.float32), done=done, info=info
+    )
+
+
+def auto_reset(
+    state: EnvState,
+    obs: jnp.ndarray,
+    done: jnp.ndarray,
+    key: jax.Array,
+    cfg: EnvConfig,
+):
+    """Branchless episode boundary: when ``done``, swap in a freshly-reset
+    state (new source + turbulence seed) while carrying the curriculum values.
+    Replaces the reference's per-episode Python ``env.reset()`` so the whole
+    rollout stays inside one compiled scan.  ``obs`` is the post-step
+    observation (from the Transition) to avoid recomputing it."""
+    fresh, fresh_obs = reset(key, cfg, state.radius, state.explore_bonus)
+    next_state = jax.tree.map(
+        lambda a, b: jnp.where(done, a, b), fresh, state
+    )
+    return next_state, jnp.where(done, fresh_obs, obs)
