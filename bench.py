@@ -1,0 +1,230 @@
+"""tpu-plume benchmark.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric (BASELINE.json): env steps/sec at 4096 parallel envs running
+the FULL fused training step (rollout + GAE + PPO update + curriculum) on the
+available accelerator.
+
+``vs_baseline`` is measured, not assumed: the baseline is a faithful
+reference-architecture loop (serial Python env stepping a materialized
+500x500 NumPy field + per-step torch-CPU policy forward + PPO update every
+256 steps — the shape of PPOV2.0/train_ppo2.0.py:110-265) timed on this host,
+since the reference never published throughput numbers (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Reference-architecture baseline (serial numpy env + torch policy)
+# ---------------------------------------------------------------------------
+
+
+def measure_reference_baseline(num_steps: int = 1500) -> float:
+    import torch
+
+    G, PEAK, TI = 500, 100.0, 3.0
+    SIGMA = G / 16
+    rng = np.random.RandomState(0)
+
+    class SerialEnv:
+        """Same architecture as the reference env: O(grid^2) field per
+        reset, per-step scalar numpy math."""
+
+        def reset(self):
+            self.src = rng.rand(2) * (G - 100) + 50
+            x, y = np.mgrid[:G, :G]
+            d = np.sqrt((x - self.src[0]) ** 2 + (y - self.src[1]) ** 2)
+            base = PEAK * np.exp(-(d**2) / (2 * SIGMA**2))
+            turb = TI * (
+                np.abs(rng.randn(G, G))
+                + 0.3 * np.sin(0.05 * x) * np.cos(0.07 * y)
+                + 0.2 * rng.rand(G, G)
+            )
+            self.conc = np.clip(base + turb, 0, PEAK)
+            self.tke = turb
+            self.pos = np.zeros(2)
+            self.t = 0
+            self.visited = {}
+            return self._obs()
+
+        def _obs(self):
+            i = int(min(max(self.pos[0], 0), G - 1))
+            j = int(min(max(self.pos[1], 0), G - 1))
+            cell = (i // 50, j // 50)
+            v = self.visited.get(cell, 0)
+            return np.array(
+                [self.pos[0] / G, self.pos[1] / G, self.conc[i, j] / PEAK,
+                 self.tke[i, j] / (3 * TI), self.t / 1000, min(v / 5, 1.0)],
+                np.float32,
+            )
+
+        def step(self, a):
+            self.t += 1
+            m = G * 0.05
+            dx, dy = [(0, 0), (0, m), (0, -m), (m, 0), (-m, 0)][a]
+            i = int(min(max(self.pos[0], 0), G - 1))
+            j = int(min(max(self.pos[1], 0), G - 1))
+            turb = m * 0.2 * rng.randn(2) * self.tke[i, j] / (3 * TI)
+            self.pos = np.clip(self.pos + [dx, dy] + turb, 0, G - 1)
+            cell = (int(self.pos[0] // 50), int(self.pos[1] // 50))
+            self.visited[cell] = self.visited.get(cell, 0) + 1
+            obs = self._obs()
+            reward = 2.0 * obs[2] - 0.4 * obs[3] - 0.15 * (1 - (m > 0))
+            done = self.t >= 1000 or np.linalg.norm(self.pos - self.src) < 50
+            return obs, reward, done
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    net = torch.nn.Sequential(
+        torch.nn.Linear(6, 256), torch.nn.LayerNorm(256), torch.nn.ReLU(),
+        torch.nn.Linear(256, 128), torch.nn.LayerNorm(128), torch.nn.ReLU(),
+    )
+    actor, critic = torch.nn.Linear(128, 5), torch.nn.Linear(128, 1)
+    opt = torch.optim.Adam(
+        list(net.parameters()) + list(actor.parameters()) + list(critic.parameters()),
+        lr=3e-5,
+    )
+
+    env = SerialEnv()
+    obs = env.reset()
+    buf_s, buf_a, buf_r, buf_v, buf_lp, buf_d = [], [], [], [], [], []
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        with torch.no_grad():
+            h = net(torch.from_numpy(obs).unsqueeze(0))
+            probs = torch.softmax(actor(h), -1)
+            v = critic(h)
+        a = int(torch.multinomial(probs, 1))
+        nobs, r, done = env.step(a)
+        buf_s.append(obs); buf_a.append(a); buf_r.append(r)
+        buf_v.append(float(v)); buf_lp.append(float(torch.log(probs[0, a]))); buf_d.append(done)
+        obs = env.reset() if done else nobs
+        if len(buf_s) >= 256:
+            s = torch.tensor(np.stack(buf_s)); acts = torch.tensor(buf_a)
+            rew = torch.tensor(buf_r, dtype=torch.float32)
+            vals = torch.tensor(buf_v); olp = torch.tensor(buf_lp)
+            dn = torch.tensor(buf_d, dtype=torch.float32)
+            adv = torch.zeros_like(rew); last = 0.0; nv = 0.0
+            for t in reversed(range(len(rew))):
+                nv = vals[t + 1] * (1 - dn[t]) if t + 1 < len(rew) else 0.0
+                delta = rew[t] + 0.99 * nv - vals[t]
+                last = delta + 0.99 * 0.95 * (1 - dn[t]) * last
+                adv[t] = last
+            adv = (adv - adv.mean()) / (adv.std() + 1e-6)
+            ret = adv + vals
+            for _e in range(5):
+                idx = torch.randperm(len(s))
+                h = net(s[idx]); probs = torch.softmax(actor(h), -1)
+                dist = torch.distributions.Categorical(probs)
+                lp = dist.log_prob(acts[idx]); ratio = (lp - olp[idx]).exp()
+                pl = -torch.min(ratio * adv[idx],
+                                torch.clamp(ratio, 0.8, 1.2) * adv[idx]).mean()
+                vl = 0.5 * ((critic(h).squeeze() - ret[idx]) ** 2).mean()
+                loss = pl + vl - 0.01 * dist.entropy().mean()
+                opt.zero_grad(); loss.backward(); opt.step()
+            buf_s, buf_a, buf_r, buf_v, buf_lp, buf_d = [], [], [], [], [], []
+    return num_steps / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# TPU fused-train-step measurement
+# ---------------------------------------------------------------------------
+
+
+def measure_tpu(num_envs: int, unroll: int, iters: int, minibatches: int = 8) -> dict:
+    import jax
+
+    from tpu_plume.core.config import (
+        CurriculumConfig,
+        EnvConfig,
+        PPOConfig,
+        RolloutConfig,
+        TrainConfig,
+    )
+    from tpu_plume.rl.curriculum import curriculum_init
+    from tpu_plume.rollout import init_rollout
+    from tpu_plume.train.ppo_trainer import LoopCarry, build_train_step, make_train_state
+
+    batch = num_envs * unroll
+    cfg = TrainConfig(
+        name="bench",
+        env=EnvConfig(max_steps=1000, plume_sigma=500 / 16),
+        # TPU-scale minibatching: same 5 epochs, minibatch sized for MXU
+        # utilization instead of the reference's CPU-era 256.
+        ppo=PPOConfig(minibatch_size=batch // minibatches, epochs=5),
+        curriculum=CurriculumConfig(),
+        rollout=RolloutConfig(num_envs=num_envs, unroll_length=unroll),
+    )
+    key = jax.random.PRNGKey(0)
+    k_model, k_roll, k_loop = jax.random.split(key, 3)
+    loop = LoopCarry(
+        train_state=make_train_state(cfg, k_model),
+        rollout=init_rollout(k_roll, cfg.env, num_envs,
+                             radius=50.0, explore_bonus=0.6),
+        curriculum=curriculum_init(cfg.curriculum, 0.6),
+        key=k_loop,
+    )
+    train_step = build_train_step(cfg)
+
+    t0 = time.perf_counter()
+    loop, stats, _ = train_step(loop)
+    jax.block_until_ready(stats["loss/total"])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loop, stats, _ = train_step(loop)
+    jax.block_until_ready(stats["loss/total"])
+    dt = time.perf_counter() - t0
+
+    steps = num_envs * unroll * iters
+    updates = iters * 5 * minibatches
+    return {
+        "steps_per_sec": steps / dt,
+        "updates_per_sec": updates / dt,
+        "compile_s": compile_s,
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--unroll", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--baseline-steps", type=int, default=1500)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.skip_baseline:
+        base_sps = 2000.0  # conservative prior for the serial loop
+    else:
+        base_sps = measure_reference_baseline(args.baseline_steps)
+
+    tpu = measure_tpu(args.envs, args.unroll, args.iters)
+
+    result = {
+        "metric": f"env_steps_per_sec_fused_train_{args.envs}envs",
+        "value": round(tpu["steps_per_sec"], 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(tpu["steps_per_sec"] / base_sps, 1),
+        "extra": {
+            "baseline_serial_steps_per_sec": round(base_sps, 1),
+            "ppo_updates_per_sec": round(tpu["updates_per_sec"], 2),
+            "compile_s": round(tpu["compile_s"], 1),
+            "platform": tpu["platform"],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

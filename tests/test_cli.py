@@ -1,0 +1,66 @@
+"""CLI smoke tests."""
+
+import json
+import os
+
+import numpy as np
+
+from tpu_plume.cli.main import main
+
+
+def test_cli_inspect_nc(tmp_path, capsys):
+    from tpu_plume.data import NetCDFWriter
+
+    path = str(tmp_path / "t.nc")
+    w = NetCDFWriter(path, grid_size=500, max_episodes=4, max_steps=10)
+    w.write_episode_data(0, 5, np.ones(5), np.ones(5), np.ones(5), 1.0, 2.0, 99.0)
+    w.close()
+    main(["inspect-nc", path])
+    out = capsys.readouterr().out
+    assert "episode: 4" in out and "Methane concentration" in out
+
+
+def test_cli_train_and_eval(tmp_path, capsys):
+    out_dir = str(tmp_path / "run")
+    main([
+        "train", "--preset", "ppo_v2_0", "--out", out_dir,
+        "--envs", "8", "--unroll", "16", "--minibatch", "64",
+        "--iterations", "2", "--episodes", "100000",
+    ])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["env_steps"] == 2 * 8 * 16
+    assert os.path.isdir(os.path.join(out_dir, "checkpoint"))
+
+    main([
+        "eval", "--preset", "ppo_v2_0", "--ckpt", os.path.join(out_dir, "checkpoint"),
+        "--episodes", "8", "--stop", "heuristic", "--out", str(tmp_path / "res"),
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "success_rate" in summary and "early_stop_rate" in summary
+    assert os.path.exists(tmp_path / "res" / "validation_metrics.npz")
+
+    # .pth round-trip through the CLI eval path
+    main([
+        "eval", "--preset", "ppo_v2_0",
+        "--pth", os.path.join(out_dir, "model", "ppo_successful_models.pth"),
+        "--episodes", "4",
+    ])
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "mean_deviation" in summary2
+
+
+def test_cli_expert(tmp_path, capsys):
+    out_dir = str(tmp_path / "run")
+    main([
+        "train", "--preset", "ppo_v2_0", "--out", out_dir,
+        "--envs", "8", "--unroll", "8", "--minibatch", "32", "--iterations", "1",
+        "--episodes", "100000",
+    ])
+    capsys.readouterr()
+    expert = str(tmp_path / "expert_data.npz")
+    main([
+        "expert", "--preset", "ppo_v2_0", "--ckpt", os.path.join(out_dir, "checkpoint"),
+        "--episodes", "3", "--out", expert,
+    ])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["samples"] > 0 and os.path.exists(expert)

@@ -1,0 +1,139 @@
+"""LSTM-trainer and GAIL pipeline tests (small synthetic data)."""
+
+import numpy as np
+import pytest
+
+from tpu_plume.core.config import (
+    CurriculumConfig,
+    EnvConfig,
+    PPOConfig,
+    RolloutConfig,
+    TrainConfig,
+)
+from tpu_plume.train.lstm_trainer import (
+    ReduceLROnPlateau,
+    smooth_l1,
+    train_peak_stop_lstm,
+    train_threshold_lstm,
+)
+
+
+def test_smooth_l1_matches_torch():
+    import torch
+
+    import jax.numpy as jnp
+
+    x = np.linspace(-5, 5, 41).astype(np.float32)
+    ours = float(smooth_l1(jnp.array(x), jnp.zeros_like(jnp.array(x)), beta=2.0))
+    theirs = float(
+        torch.nn.SmoothL1Loss(beta=2.0)(torch.from_numpy(x), torch.zeros(41))
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_reduce_lr_on_plateau():
+    s = ReduceLROnPlateau(1.0, factor=0.5, patience=2)
+    lrs = [s.step(x) for x in [5.0, 4.0, 4.5, 4.5, 4.5, 4.4, 4.4]]
+    # losses stop improving after 4.0 -> after patience 2 exceeded, halve
+    assert lrs[:2] == [1.0, 1.0]
+    assert 0.5 in lrs
+
+
+def _synthetic_sequences(n=40, rng=None):
+    """Concentration ramps whose endpoint predicts the source conc."""
+    rng = rng or np.random.default_rng(0)
+    seqs, srcs = [], []
+    for _ in range(n):
+        length = int(rng.integers(15, 40))
+        src = float(rng.uniform(50, 100))
+        t = np.linspace(0, 1, length)
+        seqs.append((src * t + rng.normal(0, 1, length)).tolist())
+        srcs.append(src)
+    return seqs, np.array(srcs)
+
+
+def test_train_threshold_lstm_learns(tmp_path):
+    # note: targets are unnormalized source concentrations (~50-100), so the
+    # reference-parity lr 3e-4 needs thousands of steps; the test uses a
+    # hotter lr to verify the optimization machinery, not the schedule.
+    seqs, srcs = _synthetic_sequences(n=200)
+    res = train_threshold_lstm(seqs, srcs, str(tmp_path), epochs=60, lr=5e-3, seed=0)
+    assert len(res.losses) == 60
+    # loss should drop substantially on this easy mapping
+    assert res.losses[-1] < res.losses[0] * 0.6
+    assert (tmp_path / "scaler_params.npy").exists()
+    assert (tmp_path / "lstm_threshold_predictor").exists()
+
+
+def _synthetic_segments(n=30, rng=None):
+    rng = rng or np.random.default_rng(1)
+    segs = []
+    for i in range(n):
+        src = rng.uniform(100, 400, 2)
+        length = 60
+        # trajectory approaching the source; conc rising
+        pos = src[None, :] + np.linspace(200, 0, length)[:, None] * rng.uniform(0.5, 1, 2)
+        conc = 100 * np.exp(-np.linalg.norm(pos - src, axis=1) / 100)
+        for j in range(0, length - 20 + 1, 10):
+            segs.append(
+                {
+                    "positions": pos[j : j + 20],
+                    "concentrations": conc[j : j + 20],
+                    "source_pos": src,
+                    "sigma": 15.0,
+                }
+            )
+    return segs
+
+
+def test_train_peak_stop_lstm_learns(tmp_path):
+    segs = _synthetic_segments()
+    res = train_peak_stop_lstm(segs, str(tmp_path), epochs=40, seed=0)
+    assert res.extra["best_loss"] < res.losses[0]
+    assert (tmp_path / "best_peak_and_stop").exists()
+
+    # the trained gate must separate head windows (stop=0) from tail windows
+    import jax.numpy as jnp
+
+    from tpu_plume.models import PeakAndStopPredictor
+
+    model = PeakAndStopPredictor()
+    seg = segs[0]
+    head = jnp.asarray(seg["concentrations"][None, :] / 100.0, jnp.float32)
+    tail_seg = segs[4]  # final window of first episode
+    tail = jnp.asarray(tail_seg["concentrations"][None, :] / 100.0, jnp.float32)
+    _, p_head = model.apply(res.params, head)
+    _, p_tail = model.apply(res.params, tail)
+    assert float(p_tail[0]) > float(p_head[0])
+
+
+@pytest.mark.parametrize("closed_loop", [False, True])
+def test_gail_pipeline(tmp_path, closed_loop):
+    from tpu_plume.evaluation import generate_expert_data
+    from tpu_plume.train.gail_trainer import train_ppo_gail
+    from tpu_plume.train.ppo_trainer import make_train_state
+
+    import jax
+
+    cfg = TrainConfig(
+        name="ppo_v1_1",
+        env=EnvConfig(max_steps=30, plume_sigma=500 / 16),
+        ppo=PPOConfig(minibatch_size=64, epochs=2),
+        curriculum=CurriculumConfig(window_size=16),
+        rollout=RolloutConfig(num_envs=16, unroll_length=16),
+        total_episodes=10_000,
+    )
+    # expert data from a fresh policy (structure is what matters here)
+    ts = make_train_state(cfg, jax.random.PRNGKey(1))
+    expert_path = str(tmp_path / "expert_data.npz")
+    generate_expert_data(
+        ts.params, ts.apply_fn, cfg.env, jax.random.PRNGKey(2),
+        num_episodes=4, path=expert_path,
+    )
+    res = train_ppo_gail(
+        cfg, str(tmp_path / "gail"), expert_path,
+        closed_loop=closed_loop, max_iterations=3, verbose=False,
+    )
+    assert res.episodes > 0
+    assert (tmp_path / "gail" / "model" / "ppo_gail.pth").exists()
+    assert (tmp_path / "gail" / "model" / "discriminator.pth").exists()

@@ -1,0 +1,141 @@
+"""GAE / PPO-update / curriculum tests (tpu_plume.rl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from tpu_plume.core.config import CurriculumConfig, PPOConfig
+from tpu_plume.models import ActorCritic
+from tpu_plume.rl import (
+    PPOBatch,
+    compute_gae,
+    curriculum_init,
+    curriculum_update,
+    ppo_loss,
+    ppo_update,
+)
+from tpu_plume.rl.ppo import normalize_advantages
+
+
+def _np_gae(rewards, values, dones, bootstrap, gamma, lam):
+    T = len(rewards)
+    adv = np.zeros(T)
+    last_adv, next_v = 0.0, bootstrap
+    for t in reversed(range(T)):
+        nonterm = 1.0 - dones[t]
+        delta = rewards[t] + gamma * next_v * nonterm - values[t]
+        last_adv = delta + gamma * lam * nonterm * last_adv
+        adv[t] = last_adv
+        next_v = values[t]
+    return adv, adv + values
+
+
+def test_gae_matches_reference_loop():
+    rng = np.random.RandomState(0)
+    T, N = 37, 3
+    rewards = rng.randn(T, N).astype(np.float32)
+    values = rng.randn(T, N).astype(np.float32)
+    dones = (rng.rand(T, N) < 0.1).astype(np.float32)
+    boot = rng.randn(N).astype(np.float32)
+    adv, ret = compute_gae(jnp.array(rewards), jnp.array(values), jnp.array(dones),
+                           jnp.array(boot), 0.99, 0.95)
+    for n in range(N):
+        ref_adv, ref_ret = _np_gae(rewards[:, n], values[:, n], dones[:, n], boot[n], 0.99, 0.95)
+        np.testing.assert_allclose(np.asarray(adv)[:, n], ref_adv, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ret)[:, n], ref_ret, rtol=1e-5, atol=1e-5)
+
+
+def test_gae_masks_episode_boundary():
+    """A reward after a done must not leak into advantages before it."""
+    T = 6
+    rewards = jnp.zeros((T, 1)).at[5, 0].set(100.0)
+    values = jnp.zeros((T, 1))
+    dones = jnp.zeros((T, 1)).at[2, 0].set(1.0)
+    adv, _ = compute_gae(rewards, values, dones, jnp.array([0.0]), 0.99, 0.95)
+    assert float(jnp.abs(adv[:3]).max()) < 1e-6 + float(adv[2, 0])  # steps 0-2 see nothing of r5
+    assert float(adv[5, 0]) == 100.0
+
+
+def test_advantage_normalization_guard():
+    cfg = PPOConfig()
+    a = jnp.ones(8)  # zero variance -> guard kicks in
+    out = normalize_advantages(a, cfg)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def _make_state_and_batch(B=512, key=jax.random.PRNGKey(0)):
+    cfg = PPOConfig(minibatch_size=128, epochs=2, learning_rate=1e-3)
+    model = ActorCritic()
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = model.init(k1, jnp.zeros((1, 6)))
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                     optax.adam(cfg.learning_rate))
+    ts = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    obs = jax.random.uniform(k2, (B, 6))
+    logits, values = model.apply(params, obs)
+    actions = jax.random.categorical(k3, logits)
+    logp = jnp.take_along_axis(jax.nn.log_softmax(logits), actions[:, None], -1).squeeze(-1)
+    adv = jax.random.normal(k3, (B,))
+    batch = PPOBatch(obs=obs, actions=actions, old_log_probs=logp,
+                     advantages=normalize_advantages(adv, cfg),
+                     returns=values + adv, old_values=values)
+    return cfg, ts, batch
+
+
+def test_ppo_loss_zero_at_old_policy():
+    """At the old params with zero advantages, policy loss is 0 and ratio=1."""
+    cfg, ts, batch = _make_state_and_batch()
+    batch = batch.replace(advantages=jnp.zeros_like(batch.advantages))
+    _, metrics = ppo_loss(ts.params, ts.apply_fn, batch, cfg)
+    np.testing.assert_allclose(float(metrics["loss/policy"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(metrics["loss/approx_kl"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(metrics["loss/clip_frac"]), 0.0, atol=1e-6)
+
+
+def test_ppo_update_reduces_value_loss():
+    cfg, ts, batch = _make_state_and_batch()
+    _, m0 = ppo_loss(ts.params, ts.apply_fn, batch, cfg)
+    ts2, metrics = jax.jit(ppo_update, static_argnames="cfg")(ts, batch, jax.random.PRNGKey(9), cfg)
+    _, m1 = ppo_loss(ts2.params, ts2.apply_fn, batch, cfg)
+    assert float(m1["loss/value"]) < float(m0["loss/value"])
+    assert int(ts2.step) == cfg.epochs * (512 // cfg.minibatch_size)
+
+
+def test_curriculum_window_and_shrink():
+    cfg = CurriculumConfig()
+    st = curriculum_init(cfg, 0.6)
+    # 119 episodes: no fire
+    st = curriculum_update(st, jnp.int32(119), jnp.int32(119), cfg)
+    assert float(st.radius) == 50.0 and int(st.num_updates) == 0
+    # 1 more success -> window fires at rate 1.0: raw shrink 50*0.9^3.2=35.7,
+    # anti-oscillation clamps to 45 (reference model.py:146-161)
+    st = curriculum_update(st, jnp.int32(1), jnp.int32(1), cfg)
+    np.testing.assert_allclose(float(st.radius), 45.0, rtol=1e-6)
+    assert int(st.num_updates) == 1 and int(st.episode_count) == 0
+    # explore bonus decayed by 0.999^2
+    np.testing.assert_allclose(float(st.explore_bonus), 0.6 * 0.999**2, rtol=1e-5)
+
+
+def test_curriculum_expand_and_floor():
+    cfg = CurriculumConfig()
+    st = curriculum_init(cfg, 0.11)
+    st = st.replace(radius=jnp.float32(30.0))
+    # rate 0 < 0.25 -> expand by 1.1 (diff 3 < clamp 5)
+    st = curriculum_update(st, jnp.int32(0), jnp.int32(120), cfg)
+    np.testing.assert_allclose(float(st.radius), 33.0, rtol=1e-6)
+    # bonus floor 0.1
+    assert float(st.explore_bonus) >= 0.1 - 1e-7
+    # radius floor: from 5.5 with rate 1 -> shrink below min clamps to 5
+    st = st.replace(radius=jnp.float32(5.5))
+    st = curriculum_update(st, jnp.int32(120), jnp.int32(120), cfg)
+    assert float(st.radius) >= cfg.min_radius - 1e-6
+
+
+def test_curriculum_mid_band_holds():
+    cfg = CurriculumConfig()
+    st = curriculum_init(cfg, 0.6)
+    st = curriculum_update(st, jnp.int32(48), jnp.int32(120), cfg)  # rate 0.4
+    assert float(st.radius) == 50.0

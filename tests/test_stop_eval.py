@@ -1,0 +1,146 @@
+"""Stop-controller and evaluation-harness tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_plume.core.config import EnvConfig, EvalConfig, StopConfig
+from tpu_plume.evaluation import (
+    evaluate_policy,
+    generate_expert_data,
+    make_heuristic_gate,
+    make_peak_stop_gate,
+    make_threshold_gate,
+    summarize,
+)
+from tpu_plume.models import ActorCritic
+from tpu_plume.stop import (
+    heuristic_stop_init,
+    heuristic_stop_step,
+    peak_stop_init,
+    peak_stop_step,
+    threshold_init,
+    threshold_step,
+)
+
+STOP = StopConfig()
+EVAL = EvalConfig(episodes=32, success_distance=40.0)
+CFG = EnvConfig(max_steps=60, plume_sigma=500 / 16)
+
+
+def test_threshold_controller_semantics():
+    """Stop fires only after min_activate steps, with a refreshed threshold
+    (reference ThresholdController, PPOV2.0/evaluate_with_lstm.py:10-37)."""
+    predict = lambda w: jnp.float32(50.0)  # predicted source conc
+    s = threshold_init(STOP)
+    fired_at = None
+    for t in range(1, 31):
+        conc = jnp.float32(60.0)  # above 50*0.95 from the start
+        s, stop = threshold_step(s, conc, predict, STOP)
+        if bool(stop) and fired_at is None:
+            fired_at = t
+    # threshold first refreshed at step 20 (count%10==0 and count>=20)
+    assert fired_at == 20
+    np.testing.assert_allclose(float(s.threshold), 47.5)
+
+
+def test_threshold_no_stop_below_threshold():
+    predict = lambda w: jnp.float32(90.0)
+    s = threshold_init(STOP)
+    for t in range(40):
+        s, stop = threshold_step(s, jnp.float32(10.0), predict, STOP)
+        assert not bool(stop)
+
+
+def test_peak_stop_gate():
+    predict = lambda w: (jnp.float32(0.9), jnp.float32(0.95))
+    s = peak_stop_init(STOP)
+    fired_at = None
+    for t in range(1, 25):
+        s, stop = peak_stop_step(s, jnp.float32(50.0), predict, STOP)
+        if bool(stop):
+            fired_at = t
+            break
+    assert fired_at == STOP.peak_stop_window  # needs a full 20-window
+    np.testing.assert_allclose(float(s.peak_pred), 0.9)
+
+
+def test_heuristic_gate():
+    ev = EvalConfig()
+    s = heuristic_stop_init(ev)
+    # stationary agent at high concentration -> fires once window full
+    for t in range(1, 15):
+        s, stop = heuristic_stop_step(s, jnp.array([10.0, 10.0]), jnp.float32(90.0), 100.0, ev)
+        if t < ev.heuristic_position_window:
+            assert not bool(stop)
+    assert bool(stop)
+    # moving agent never fires
+    s = heuristic_stop_init(ev)
+    for t in range(1, 15):
+        s, stop = heuristic_stop_step(
+            s, jnp.array([10.0 * t, 10.0]), jnp.float32(90.0), 100.0, ev
+        )
+    assert not bool(stop)
+
+
+def _params():
+    model = ActorCritic()
+    return model, model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6)))
+
+
+def test_evaluate_policy_metrics_schema(tmp_path):
+    model, params = _params()
+    m = evaluate_policy(params, model.apply, CFG, EVAL, jax.random.PRNGKey(1))
+    n = EVAL.episodes
+    assert m.deviations.shape == (n,)
+    assert m.steps.shape == (n,) and m.steps.max() <= CFG.max_steps
+    assert m.success.dtype == bool and m.stopped_early.dtype == bool
+    # no stop gate -> no early stops
+    assert not m.stopped_early.any()
+    s = summarize(m)
+    assert set(s) == {
+        "mean_deviation", "std_deviation", "success_rate",
+        "success_mean_deviation", "success_std_deviation",
+        "early_stop_rate", "mean_steps",
+    }
+    m.save_npz(str(tmp_path / "validation_metrics.npz"))
+    loaded = np.load(tmp_path / "validation_metrics.npz")
+    assert set(loaded.files) == {"deviations", "steps", "success", "stopped_early"}
+
+
+def test_evaluate_with_always_stop_gate():
+    """An always-fire gate must stop every episode at the window boundary."""
+    model, params = _params()
+    gate = make_peak_stop_gate(lambda w: (jnp.float32(1.0), jnp.float32(1.0)), STOP)
+    m = evaluate_policy(params, model.apply, CFG, EVAL, jax.random.PRNGKey(1), stop_gate=gate)
+    assert m.stopped_early.all()
+    assert (m.steps == STOP.peak_stop_window).all()
+
+
+def test_evaluate_with_threshold_gate_runs():
+    model, params = _params()
+    gate = make_threshold_gate(lambda w: jnp.float32(1000.0), STOP)  # unreachable
+    m = evaluate_policy(params, model.apply, CFG, EVAL, jax.random.PRNGKey(2), stop_gate=gate)
+    assert not m.stopped_early.any()
+
+
+def test_evaluate_with_heuristic_gate_runs():
+    model, params = _params()
+    gate = make_heuristic_gate(EVAL, CFG.conc_peak)
+    m = evaluate_policy(params, model.apply, CFG, EVAL, jax.random.PRNGKey(3), stop_gate=gate)
+    assert m.deviations.shape == (EVAL.episodes,)
+
+
+def test_generate_expert_data(tmp_path):
+    model, params = _params()
+    path = str(tmp_path / "expert_data.npz")
+    states, actions = generate_expert_data(
+        params, model.apply, CFG, jax.random.PRNGKey(0), num_episodes=8, path=path
+    )
+    assert states.ndim == 2 and states.shape[1] == 6
+    assert states.shape[0] == actions.shape[0] > 0
+    assert states.shape[0] <= 8 * CFG.max_steps
+    from tpu_plume.data import load_expert_data
+
+    s, a = load_expert_data(path)
+    assert s.shape == states.shape

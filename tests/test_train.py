@@ -1,0 +1,84 @@
+"""End-to-end PPO trainer smoke tests (small geometry, CPU)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from tpu_plume.core.config import (
+    CurriculumConfig,
+    EnvConfig,
+    PPOConfig,
+    RolloutConfig,
+    TrainConfig,
+)
+from tpu_plume.train import train_ppo
+
+
+def _tiny_cfg(**kw):
+    return TrainConfig(
+        name="ppo_v2_0",
+        env=EnvConfig(max_steps=40, plume_sigma=500 / 16),
+        ppo=PPOConfig(minibatch_size=128, epochs=2),
+        curriculum=CurriculumConfig(window_size=16),
+        rollout=RolloutConfig(num_envs=32, unroll_length=32),
+        total_episodes=60,
+        **kw,
+    )
+
+
+def test_train_smoke_end_to_end(tmp_path):
+    out = str(tmp_path / "run")
+    res = train_ppo(_tiny_cfg(), out, capture_netcdf=True, verbose=False, log_every=1)
+    assert res.episodes >= 60
+    assert res.env_steps > 0 and res.steps_per_sec > 0
+
+    # CSV schema parity (reference train_ppo2.0.py:129-135)
+    df = pd.read_csv(os.path.join(out, "training_results.csv"))
+    assert list(df.columns) == [
+        "Episode", "Total_Reward", "Success", "Conc_Reward", "Explore_Reward",
+        "Move_Penalty", "TKE_Penalty", "Boundary_Penalty", "Steps",
+        "Final_Conc", "Current_Radius",
+    ]
+    assert len(df) == res.episodes
+    assert df["Episode"].iloc[0] == 1 and df["Episode"].is_monotonic_increasing
+    assert df["Steps"].between(1, 40).all()
+    # reward decomposition consistency per row (bonus only on success rows)
+    comp = (df.Conc_Reward + df.Explore_Reward + df.Move_Penalty
+            + df.TKE_Penalty + df.Boundary_Penalty)
+    bonus = np.where(df.Success == 1,
+                     np.minimum(500.0, 150.0 * 50.0 / df.Current_Radius), 0.0)
+    np.testing.assert_allclose(df.Total_Reward, comp + bonus, rtol=1e-3, atol=1e-2)
+
+    # checkpoint bundle + reference .pth artifact exist
+    assert os.path.isdir(os.path.join(out, "checkpoint"))
+    assert os.path.exists(os.path.join(out, "model", "ppo_successful_models.pth"))
+
+    # NetCDF capture written (successful episodes at smallest radii)
+    from tpu_plume.data import read_nc
+
+    nc = read_nc(os.path.join(out, "training_data.nc"))
+    written = ~np.isnan(nc["source_x"])
+    if written.any():
+        i = int(np.argmax(written))
+        steps_i = int(np.sum(~np.isnan(nc["x"][i])))
+        assert nc["is_source"][i, steps_i - 1] == 1
+
+    # train log captured throughput
+    log = pd.read_csv(os.path.join(out, "train_log.csv"))
+    assert "throughput/env_steps_per_sec" in log.columns
+
+
+def test_resume_checkpoint_restores(tmp_path):
+    from tpu_plume.data.checkpoint import restore_checkpoint
+
+    out = str(tmp_path / "run")
+    cfg = _tiny_cfg()
+    res = train_ppo(cfg, out, verbose=False, max_iterations=2)
+    bundle = restore_checkpoint(os.path.join(out, "checkpoint"))
+    assert "params" in bundle and "opt_state" in bundle and "curriculum" in bundle
+    # params in the bundle match the returned params
+    leaf = bundle["params"]["params"]["Dense_0"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(leaf), np.asarray(res.params["params"]["Dense_0"]["kernel"])
+    )

@@ -1,0 +1,256 @@
+"""Command-line entry points.
+
+The reference has no CLI at all — every script is ``python <file>.py`` with
+configuration by editing config.py (SURVEY.md §1 L3).  This module provides
+the flags it lacked:
+
+    python -m tpu_plume.cli train        --preset ppo_v2_0 --out runs/v20
+    python -m tpu_plume.cli train-gail   --preset ppo_v1_1 --expert expert_data.npz
+    python -m tpu_plume.cli train-lstm   --variant threshold --nc training_data.nc
+    python -m tpu_plume.cli eval         --preset ppo_v2_0 --ckpt runs/v20/checkpoint
+    python -m tpu_plume.cli expert       --ckpt runs/v20/checkpoint --out expert_data.npz
+    python -m tpu_plume.cli inspect-nc   training_data.nc
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _load_params(args, cfg):
+    """Load policy params from an Orbax checkpoint dir or a reference .pth."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_plume.models import ActorCritic
+
+    model = ActorCritic(num_actions=cfg.env.num_actions)
+    if args.pth:
+        from tpu_plume.data.torch_export import import_actor_critic_pth
+
+        return model, import_actor_critic_pth(args.pth)
+    if args.ckpt:
+        from tpu_plume.data.checkpoint import restore_checkpoint
+
+        template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, cfg.env.obs_dim)))
+        bundle = restore_checkpoint(args.ckpt)
+        params = bundle["params"] if "params" in bundle else bundle
+        return model, jax.tree.map(jnp.asarray, params)
+    raise SystemExit("need --ckpt or --pth")
+
+
+def _apply_overrides(cfg, args):
+    env = cfg.env
+    rollout = cfg.rollout
+    if args.envs:
+        rollout = dataclasses.replace(rollout, num_envs=args.envs)
+    if args.unroll:
+        rollout = dataclasses.replace(rollout, unroll_length=args.unroll)
+    ppo = cfg.ppo
+    if args.minibatch:
+        ppo = dataclasses.replace(ppo, minibatch_size=args.minibatch)
+    cfg = cfg.replace(rollout=rollout, ppo=ppo, env=env)
+    if args.episodes:
+        cfg = cfg.replace(total_episodes=args.episodes)
+    if args.seed is not None:
+        cfg = cfg.replace(seed=args.seed)
+    return cfg
+
+
+def cmd_train(args):
+    from tpu_plume.core import get_preset
+    from tpu_plume.train import train_ppo
+
+    cfg = _apply_overrides(get_preset(args.preset), args)
+    res = train_ppo(
+        cfg,
+        args.out,
+        capture_netcdf=args.netcdf,
+        use_tensorboard=args.tensorboard,
+        max_iterations=args.iterations,
+    )
+    print(
+        json.dumps(
+            {
+                "episodes": res.episodes,
+                "successes": res.successes,
+                "success_rate": res.successes / max(res.episodes, 1),
+                "env_steps": res.env_steps,
+                "steps_per_sec": res.steps_per_sec,
+                "out_dir": res.out_dir,
+            }
+        )
+    )
+
+
+def cmd_train_gail(args):
+    from tpu_plume.core import get_preset
+    from tpu_plume.train.gail_trainer import train_ppo_gail
+
+    cfg = _apply_overrides(get_preset(args.preset), args)
+    res = train_ppo_gail(
+        cfg, args.out, args.expert,
+        closed_loop=args.closed_loop, max_iterations=args.iterations,
+    )
+    print(json.dumps({"episodes": res.episodes, "successes": res.successes,
+                      "out_dir": res.out_dir}))
+
+
+def cmd_train_lstm(args):
+    from tpu_plume.data.datasets import load_raw_sequences, load_trajectory_segments
+    from tpu_plume.train.lstm_trainer import train_peak_stop_lstm, train_threshold_lstm
+
+    if args.variant == "threshold":
+        seqs, src = load_raw_sequences(args.nc)
+        res = train_threshold_lstm(
+            seqs, src, args.out, epochs=args.epochs, verbose=True
+        )
+        print(json.dumps({"final_loss": res.losses[-1], "r2": res.extra["r2"]}))
+    else:
+        segs = load_trajectory_segments(args.nc, window_size=20)
+        res = train_peak_stop_lstm(segs, args.out, epochs=args.epochs, verbose=True)
+        print(json.dumps({"best_loss": res.extra["best_loss"]}))
+
+
+def cmd_eval(args):
+    import jax
+
+    from tpu_plume.core import get_preset
+    from tpu_plume.evaluation import evaluate_policy, make_heuristic_gate, summarize
+
+    cfg = get_preset(args.preset)
+    model, params = _load_params(args, cfg)
+    stop_gate = None
+    if args.stop == "heuristic":
+        stop_gate = make_heuristic_gate(cfg.eval, cfg.env.conc_peak)
+    elif args.stop in ("threshold", "peakstop"):
+        stop_gate = _lstm_gate(args, cfg)
+    m = evaluate_policy(
+        params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
+        num_episodes=args.episodes, stop_gate=stop_gate,
+    )
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        m.save_npz(os.path.join(args.out, "validation_metrics.npz"))
+    print(json.dumps(summarize(m)))
+
+
+def _lstm_gate(args, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_plume.data.checkpoint import restore_checkpoint
+    from tpu_plume.evaluation import make_peak_stop_gate, make_threshold_gate
+    from tpu_plume.models import ConcentrationThresholdPredictor, PeakAndStopPredictor
+
+    if not args.lstm_ckpt:
+        raise SystemExit("--stop threshold/peakstop requires --lstm-ckpt")
+    bundle = restore_checkpoint(args.lstm_ckpt)
+    lstm_params = jax.tree.map(jnp.asarray, bundle["params"])
+    if args.stop == "threshold":
+        from tpu_plume.data.scaler import MinMaxScaler
+
+        scaler_path = os.path.join(os.path.dirname(args.lstm_ckpt), "scaler_params.npy")
+        scaler = MinMaxScaler.load(scaler_path)
+        model = ConcentrationThresholdPredictor()
+        lo = jnp.float32(scaler.data_min_)
+        scale = jnp.float32(scaler._scale)
+
+        def predict(window):
+            scaled = (window - lo) * scale
+            return model.apply(lstm_params, scaled[None, :])[0]
+
+        return make_threshold_gate(predict, cfg.stop)
+    model = PeakAndStopPredictor()
+
+    def predict(window_norm):
+        peak, stop = model.apply(lstm_params, window_norm[None, :])
+        return peak[0], stop[0]
+
+    return make_peak_stop_gate(predict, cfg.stop)
+
+
+def cmd_expert(args):
+    import jax
+
+    from tpu_plume.core import get_preset
+    from tpu_plume.evaluation import generate_expert_data
+
+    cfg = get_preset(args.preset)
+    model, params = _load_params(args, cfg)
+    states, actions = generate_expert_data(
+        params, model.apply, cfg.env, jax.random.PRNGKey(args.seed or 0),
+        num_episodes=args.episodes or 100, path=args.out,
+    )
+    print(json.dumps({"samples": int(states.shape[0]), "path": args.out}))
+
+
+def cmd_inspect_nc(args):
+    from tpu_plume.data.netcdf import describe_nc
+
+    print(describe_nc(args.path))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="tpu_plume")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, out_default=None):
+        sp.add_argument("--preset", default="ppo_v2_0")
+        sp.add_argument("--out", default=out_default)
+        sp.add_argument("--episodes", type=int)
+        sp.add_argument("--envs", type=int)
+        sp.add_argument("--unroll", type=int)
+        sp.add_argument("--minibatch", type=int)
+        sp.add_argument("--iterations", type=int)
+        sp.add_argument("--seed", type=int)
+        sp.add_argument("--ckpt")
+        sp.add_argument("--pth")
+
+    sp = sub.add_parser("train", help="PPO training")
+    common(sp, "runs/train")
+    sp.add_argument("--netcdf", action="store_true", help="capture training_data.nc")
+    sp.add_argument("--tensorboard", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("train-gail", help="PPO + GAIL discriminator")
+    common(sp, "runs/gail")
+    sp.add_argument("--expert", required=True)
+    sp.add_argument("--closed-loop", action="store_true")
+    sp.set_defaults(fn=cmd_train_gail)
+
+    sp = sub.add_parser("train-lstm", help="LSTM stop-predictor training")
+    sp.add_argument("--variant", choices=["threshold", "peakstop"], default="threshold")
+    sp.add_argument("--nc", required=True)
+    sp.add_argument("--out", default="runs/lstm")
+    sp.add_argument("--epochs", type=int, default=150)
+    sp.set_defaults(fn=cmd_train_lstm)
+
+    sp = sub.add_parser("eval", help="greedy evaluation harness")
+    common(sp, None)
+    sp.add_argument("--stop", choices=["none", "heuristic", "threshold", "peakstop"],
+                    default="none")
+    sp.add_argument("--lstm-ckpt")
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("expert", help="generate expert demonstrations")
+    common(sp, "expert_data.npz")
+    sp.set_defaults(fn=cmd_expert)
+
+    sp = sub.add_parser("inspect-nc", help="dump NetCDF dataset schema")
+    sp.add_argument("path")
+    sp.set_defaults(fn=cmd_inspect_nc)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

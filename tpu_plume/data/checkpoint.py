@@ -1,0 +1,47 @@
+"""Checkpoint / resume.
+
+The reference only ever saves final ``state_dict``s (PPOV2.0/train_ppo2.0.py:
+254-256) — no optimizer state, PRNG, or episode counter, so no true resume
+exists (SURVEY.md §5).  Here the full training bundle (params + optimizer
+state + curriculum state + PRNG key + counters) round-trips through Orbax,
+and the reference's ``.pth`` artifact names are supported as a torch-format
+export for interop (see tpu_plume.data.torch_export).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree: Any):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    """Save a pytree bundle to ``path`` (directory) via Orbax."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, _to_numpy_tree(tree), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, target: Any | None = None) -> Any:
+    """Restore a bundle; ``target`` (a matching pytree of arrays) restores
+    with original structure/dtypes, otherwise a raw dict is returned."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        return ckptr.restore(path)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), target
+    )
+    restored = ckptr.restore(path, abstract)
+    return restored

@@ -1,0 +1,258 @@
+"""Evaluation harnesses: greedy policy + stop gate, fully on device.
+
+Reproduces the reference evaluators' statistical protocol:
+
+  - ``ModelEvaluator.run_evaluation`` (PPOV1.1/evaluate_model.py:43-90):
+    1000 greedy episodes, heuristic stop, deviation/success CSV;
+  - ``evaluate_with_lstm.main`` V2.0 (PPOV2.0/evaluate_with_lstm.py:39-135):
+    LSTM threshold stop, metrics npz {deviations, steps, success,
+    stopped_early};
+  - ``evaluate_with_lstm.main`` V2.1 (PPOV2.1/evaluate_with_lstm.py:29-118):
+    PeakAndStop gate (stop_prob > 0.8), success@50px, sigma/peak predictions.
+
+TPU-native form: all episodes run *in parallel* as vmapped envs inside one
+jitted ``lax.scan`` with per-env finished-masking — the reference's 1000
+serial episodes collapse into a single device program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tpu_plume.core.config import EnvConfig, EvalConfig, StopConfig
+from tpu_plume.env.methane import reset, step
+from tpu_plume.stop import controllers as ctrl
+
+
+@struct.dataclass
+class _EvalCarry:
+    env_state: Any
+    obs: jnp.ndarray
+    stop_state: Any
+    finished: jnp.ndarray
+    steps: jnp.ndarray
+    stopped_early: jnp.ndarray
+    key: jax.Array
+
+
+@dataclasses.dataclass
+class EvalMetrics:
+    """The reference validation_metrics.npz schema
+    (PPOV2.0/evaluate_with_lstm.py:63-68, 132)."""
+
+    deviations: np.ndarray
+    steps: np.ndarray
+    success: np.ndarray
+    stopped_early: np.ndarray
+    peak_pred: np.ndarray | None = None
+
+    def save_npz(self, path: str):
+        data = dict(
+            deviations=self.deviations,
+            steps=self.steps,
+            success=self.success,
+            stopped_early=self.stopped_early,
+        )
+        if self.peak_pred is not None:
+            data["peak_pred"] = self.peak_pred
+        np.savez(path, **data)
+
+
+# A stop gate bundles (per-env init pytree, step_fn(state, conc, pos) ->
+# (state', stop_bool)) — see tpu_plume.stop.controllers.
+StopGate = tuple[Any, Callable]
+
+
+def make_threshold_gate(predict_fn: Callable, stop_cfg: StopConfig) -> StopGate:
+    return (
+        ctrl.threshold_init(stop_cfg),
+        lambda s, conc, pos: ctrl.threshold_step(s, conc, predict_fn, stop_cfg),
+    )
+
+
+def make_peak_stop_gate(predict_fn: Callable, stop_cfg: StopConfig) -> StopGate:
+    return (
+        ctrl.peak_stop_init(stop_cfg),
+        lambda s, conc, pos: ctrl.peak_stop_step(s, conc, predict_fn, stop_cfg),
+    )
+
+
+def make_heuristic_gate(eval_cfg: EvalConfig, conc_peak: float) -> StopGate:
+    return (
+        ctrl.heuristic_stop_init(eval_cfg),
+        lambda s, conc, pos: ctrl.heuristic_stop_step(s, pos, conc, conc_peak, eval_cfg),
+    )
+
+
+def evaluate_policy(
+    params: Any,
+    apply_fn: Callable,
+    env_cfg: EnvConfig,
+    eval_cfg: EvalConfig,
+    key: jax.Array,
+    num_episodes: Optional[int] = None,
+    stop_gate: Optional[StopGate] = None,
+    max_steps: Optional[int] = None,
+    greedy: bool = True,
+) -> EvalMetrics:
+    """Run ``num_episodes`` parallel greedy episodes; returns per-episode
+    metrics in the reference npz layout."""
+    n = num_episodes or eval_cfg.episodes
+    length = max_steps or min(env_cfg.max_steps, eval_cfg.max_eval_steps)
+
+    k_reset, k_scan = jax.random.split(key)
+    reset_keys = jax.random.split(k_reset, n)
+
+    def run(reset_keys, k_scan):
+        env_state, obs = jax.vmap(lambda k: reset(k, env_cfg))(reset_keys)
+        if stop_gate is not None:
+            stop_init, stop_fn = stop_gate
+            stop_state = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), stop_init
+            )
+        else:
+            stop_state = jnp.zeros(n)  # dummy
+
+        carry = _EvalCarry(
+            env_state=env_state,
+            obs=obs,
+            stop_state=stop_state,
+            finished=jnp.zeros(n, bool),
+            steps=jnp.zeros(n, jnp.int32),
+            stopped_early=jnp.zeros(n, bool),
+            key=k_scan,
+        )
+
+        def body(c: _EvalCarry, _):
+            key, k_act, k_step = jax.random.split(c.key, 3)
+            logits, _ = apply_fn(params, c.obs)
+            if greedy:
+                action = jnp.argmax(logits, axis=-1)
+            else:
+                action = jax.random.categorical(k_act, logits, axis=-1)
+            step_keys = jax.random.split(k_step, n)
+            new_env, trans = jax.vmap(lambda s, a, k: step(s, a, k, env_cfg))(
+                c.env_state, action, step_keys
+            )
+
+            if stop_gate is not None:
+                new_stop, stop_fired = jax.vmap(stop_fn)(
+                    c.stop_state, trans.info.conc_raw, new_env.pos
+                )
+            else:
+                new_stop, stop_fired = c.stop_state, jnp.zeros(n, bool)
+
+            active = ~c.finished
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(
+                    active.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                new,
+                old,
+            )
+            env_state = keep(new_env, c.env_state)
+            obs = jnp.where(active[:, None], trans.obs, c.obs)
+            stop_state = keep(new_stop, c.stop_state)
+            steps = c.steps + active.astype(jnp.int32)
+            stopped_early = c.stopped_early | (active & stop_fired)
+            finished = c.finished | trans.done | stop_fired
+            return (
+                _EvalCarry(env_state, obs, stop_state, finished, steps, stopped_early, key),
+                None,
+            )
+
+        carry, _ = jax.lax.scan(body, carry, None, length=length)
+        deviation = jnp.linalg.norm(
+            carry.env_state.pos - carry.env_state.field.source, axis=-1
+        )
+        peak_pred = (
+            carry.stop_state.peak_pred
+            if isinstance(carry.stop_state, ctrl.PeakStopState)
+            else None
+        )
+        return deviation, carry.steps, carry.stopped_early, peak_pred
+
+    deviation, steps, stopped_early, peak_pred = jax.jit(run)(reset_keys, k_scan)
+    deviation = np.asarray(deviation)
+    return EvalMetrics(
+        deviations=deviation,
+        steps=np.asarray(steps),
+        success=deviation <= eval_cfg.success_distance,
+        stopped_early=np.asarray(stopped_early),
+        peak_pred=None if peak_pred is None else np.asarray(peak_pred),
+    )
+
+
+def summarize(m: EvalMetrics) -> dict:
+    """The reference's printed summary block
+    (PPOV2.0/evaluate_with_lstm.py:112-129)."""
+    succ_dev = m.deviations[m.success]
+    return {
+        "mean_deviation": float(m.deviations.mean()),
+        "std_deviation": float(m.deviations.std()),
+        "success_rate": float(m.success.mean()),
+        "success_mean_deviation": float(succ_dev.mean()) if succ_dev.size else 0.0,
+        "success_std_deviation": float(succ_dev.std()) if succ_dev.size else 0.0,
+        "early_stop_rate": float(m.stopped_early.mean()),
+        "mean_steps": float(m.steps.mean()),
+    }
+
+
+def generate_expert_data(
+    params: Any,
+    apply_fn: Callable,
+    env_cfg: EnvConfig,
+    key: jax.Array,
+    num_episodes: int = 100,
+    path: str | None = None,
+):
+    """Greedy-rollout (state, action) collection — the reference expert-data
+    pipeline (PPOV1.1/generate_expert_data.py:14-61)."""
+    n = num_episodes
+    k_reset, k_scan = jax.random.split(key)
+    reset_keys = jax.random.split(k_reset, n)
+
+    def run(reset_keys, k_scan):
+        env_state, obs = jax.vmap(lambda k: reset(k, env_cfg))(reset_keys)
+        finished = jnp.zeros(n, bool)
+
+        def body(carry, _):
+            env_state, obs, finished, key = carry
+            key, k_step = jax.random.split(key)
+            logits, _ = apply_fn(params, obs)
+            action = jnp.argmax(logits, axis=-1)
+            step_keys = jax.random.split(k_step, n)
+            new_env, trans = jax.vmap(lambda s, a, k: step(s, a, k, env_cfg))(
+                env_state, action, step_keys
+            )
+            active = ~finished
+            out = (obs, action, active)
+            env_state = jax.tree.map(
+                lambda a, b: jnp.where(active.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+                new_env,
+                env_state,
+            )
+            obs = jnp.where(active[:, None], trans.obs, obs)
+            finished = finished | trans.done
+            return (env_state, obs, finished, key), out
+
+        _, (states, actions, valid) = jax.lax.scan(
+            body, (env_state, obs, finished, k_scan), None, length=env_cfg.max_steps
+        )
+        return states, actions, valid
+
+    states, actions, valid = jax.jit(run)(reset_keys, k_scan)
+    mask = np.asarray(valid).reshape(-1)
+    states = np.asarray(states).reshape(-1, env_cfg.obs_dim)[mask]
+    actions = np.asarray(actions).reshape(-1)[mask]
+    if path is not None:
+        from tpu_plume.data.expert import save_expert_data
+
+        save_expert_data(path, states, actions)
+    return states, actions

@@ -1,0 +1,90 @@
+"""Curriculum controller as a pure state transition.
+
+Reference: ``PPOTrainer.update`` (PPOV1.1/model.py:121-164,
+PPOV2.1/model.py:178-221): a success-history window of 120 episodes; when the
+window fills, (a) the exploration bonus decays by DECAY_FACTOR^(1 +
+success_rate) with a 0.1 floor, (b) the goal radius shrinks by
+RADIUS_DECAY^(2 + 3*(rate - 0.6)) when rate > 0.6 or expands by 1.1x when
+rate < 0.25, (c) an anti-oscillation clamp limits the per-update radius move
+to +-5, and the window resets.
+
+Batched TPU form: with N vmapped envs completing episodes asynchronously
+there is no serial episode order, so the window is an accumulator of
+(successes, episodes) counts; one update fires per training iteration once
+the count reaches the window size, matching the serial semantics in
+expectation (SURVEY.md §7 "hard parts").  The whole transition is jnp
+``where``-arithmetic — jit-safe, carried in the training loop.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from tpu_plume.core.config import CurriculumConfig
+
+
+@struct.dataclass
+class CurriculumState:
+    radius: jnp.ndarray          # f32 current goal radius
+    explore_bonus: jnp.ndarray   # f32 current exploration bonus
+    success_count: jnp.ndarray   # i32 successes in the open window
+    episode_count: jnp.ndarray   # i32 episodes in the open window
+    num_updates: jnp.ndarray     # i32 windows closed so far (diagnostics)
+
+
+def curriculum_init(cfg: CurriculumConfig, explore_bonus_init: float) -> CurriculumState:
+    return CurriculumState(
+        radius=jnp.float32(cfg.initial_radius),
+        explore_bonus=jnp.float32(explore_bonus_init),
+        success_count=jnp.int32(0),
+        episode_count=jnp.int32(0),
+        num_updates=jnp.int32(0),
+    )
+
+
+def curriculum_update(
+    state: CurriculumState,
+    new_successes: jnp.ndarray,   # i32: episodes that ended in success this iter
+    new_episodes: jnp.ndarray,    # i32: episodes that ended this iter
+    cfg: CurriculumConfig,
+) -> CurriculumState:
+    succ = state.success_count + new_successes.astype(jnp.int32)
+    count = state.episode_count + new_episodes.astype(jnp.int32)
+    fire = count >= cfg.window_size
+    rate = succ.astype(jnp.float32) / jnp.maximum(count.astype(jnp.float32), 1.0)
+
+    # (a) exploration-bonus decay (model.py:139-144).
+    decayed_bonus = jnp.maximum(
+        state.explore_bonus * cfg.explore_decay_factor ** (1.0 + rate),
+        cfg.explore_bonus_floor,
+    )
+
+    # (b) radius shrink / expand (model.py:146-157).
+    shrink = state.radius * cfg.radius_decay ** (
+        2.0 + 3.0 * (rate - cfg.success_threshold)
+    )
+    shrunk = jnp.maximum(cfg.min_radius, shrink)
+    expanded = jnp.minimum(cfg.initial_radius, state.radius * cfg.expand_rate)
+    new_radius = jnp.where(
+        rate > cfg.success_threshold,
+        shrunk,
+        jnp.where(rate < cfg.expand_below, expanded, state.radius),
+    )
+
+    # (c) anti-oscillation clamp vs the radius the window ran at
+    # (model.py:159-161).
+    delta = new_radius - state.radius
+    clamped = jnp.where(
+        jnp.abs(delta) > cfg.anti_oscillation_clamp,
+        state.radius + cfg.anti_oscillation_clamp * jnp.sign(delta),
+        new_radius,
+    )
+
+    return CurriculumState(
+        radius=jnp.where(fire, clamped, state.radius),
+        explore_bonus=jnp.where(fire, decayed_bonus, state.explore_bonus),
+        success_count=jnp.where(fire, 0, succ),
+        episode_count=jnp.where(fire, 0, count),
+        num_updates=state.num_updates + fire.astype(jnp.int32),
+    )

@@ -1,0 +1,130 @@
+"""Clipped-surrogate PPO loss and jitted multi-epoch minibatch update.
+
+Reference: ``_update_model`` (PPOV2.0/train_ppo2.0.py:15-88,
+PPOV1.1/train_ppo1.0.py:66-139): clipped policy surrogate, clipped value
+loss (0.5 * max of clipped/unclipped squared errors vs stored values),
+entropy bonus beta=0.01, grad-clip 0.5, Adam lr 3e-5, 5 epochs of shuffled
+256-sample minibatches, global advantage normalization with a degenerate-std
+guard (train_ppo2.0.py:34-39).
+
+TPU-native form: the epoch/minibatch loops are ``lax.scan``s inside one jit —
+no host round-trips between minibatches; policy math runs in log-space from
+logits.  When the batch is sharded over a device mesh, XLA inserts the
+gradient all-reduce (psum over ICI) automatically from the sharding
+annotations — the NCCL role in a torch DDP setup (the reference has no
+distributed path at all, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from flax.training.train_state import TrainState
+
+from tpu_plume.core.config import PPOConfig
+
+
+@struct.dataclass
+class PPOBatch:
+    """Flattened rollout data (reference PPOBuffer.get, PPOV1.1/model.py:100-116)."""
+
+    obs: jnp.ndarray            # f32[B, obs_dim]
+    actions: jnp.ndarray        # i32[B]
+    old_log_probs: jnp.ndarray  # f32[B]
+    advantages: jnp.ndarray     # f32[B] (normalized)
+    returns: jnp.ndarray        # f32[B]
+    old_values: jnp.ndarray     # f32[B]
+
+
+def normalize_advantages(advantages: jnp.ndarray, cfg: PPOConfig) -> jnp.ndarray:
+    """Global advantage normalization with the reference's degenerate-std
+    guard (PPOV2.0/train_ppo2.0.py:34-39)."""
+    centered = advantages - advantages.mean()
+    std = centered.std()
+    std = jnp.where((std < 1e-6) | jnp.isnan(std), 1.0, std)
+    return centered / (std + cfg.adv_norm_eps)
+
+
+def ppo_loss(params, apply_fn, batch: PPOBatch, cfg: PPOConfig):
+    logits, values = apply_fn(params, batch.obs)
+    log_probs_all = jax.nn.log_softmax(logits)
+    new_log_probs = jnp.take_along_axis(
+        log_probs_all, batch.actions[:, None], axis=-1
+    ).squeeze(-1)
+
+    # Clipped policy surrogate (train_ppo2.0.py:67-71).
+    ratio = jnp.exp(new_log_probs - batch.old_log_probs)
+    surr1 = ratio * batch.advantages
+    surr2 = jnp.clip(ratio, 1.0 - cfg.clip_epsilon, 1.0 + cfg.clip_epsilon) * batch.advantages
+    policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+
+    # Clipped value loss vs stored values (train_ppo2.0.py:73-78).
+    value_clipped = batch.old_values + jnp.clip(
+        values - batch.old_values, -cfg.clip_epsilon, cfg.clip_epsilon
+    )
+    value_loss = cfg.value_loss_coef * jnp.mean(
+        jnp.maximum(
+            (values - batch.returns) ** 2,
+            (value_clipped - batch.returns) ** 2,
+        )
+    )
+
+    # Entropy bonus (train_ppo2.0.py:80-81).
+    probs = jnp.exp(log_probs_all)
+    entropy = -jnp.sum(probs * log_probs_all, axis=-1).mean()
+
+    total = policy_loss + value_loss - cfg.entropy_beta * entropy
+    metrics = {
+        "loss/total": total,
+        "loss/policy": policy_loss,
+        "loss/value": value_loss,
+        "loss/entropy": entropy,
+        "loss/approx_kl": jnp.mean(batch.old_log_probs - new_log_probs),
+        "loss/clip_frac": jnp.mean(
+            (jnp.abs(ratio - 1.0) > cfg.clip_epsilon).astype(jnp.float32)
+        ),
+    }
+    return total, metrics
+
+
+def ppo_update(
+    train_state: TrainState,
+    batch: PPOBatch,
+    key: jax.Array,
+    cfg: PPOConfig,
+) -> tuple[TrainState, dict[str, Any]]:
+    """cfg.epochs epochs of shuffled minibatch SGD, fully on device.
+
+    The batch size must be a multiple of ``cfg.minibatch_size`` (rollout
+    geometry guarantees this; the reference silently drops ragged tails via
+    ``indices.split``, train_ppo2.0.py:44-46).
+    """
+    batch_size = batch.obs.shape[0]
+    num_minibatches = batch_size // cfg.minibatch_size
+    assert num_minibatches * cfg.minibatch_size == batch_size, (
+        f"batch {batch_size} not divisible by minibatch {cfg.minibatch_size}"
+    )
+
+    grad_fn = jax.grad(ppo_loss, has_aux=True)
+
+    def minibatch_step(ts: TrainState, mb: PPOBatch):
+        grads, metrics = grad_fn(ts.params, ts.apply_fn, mb, cfg)
+        return ts.apply_gradients(grads=grads), metrics
+
+    def epoch_step(ts: TrainState, epoch_key: jax.Array):
+        perm = jax.random.permutation(epoch_key, batch_size)
+        shuffled = jax.tree.map(
+            lambda x: x[perm].reshape(
+                num_minibatches, cfg.minibatch_size, *x.shape[1:]
+            ),
+            batch,
+        )
+        ts, metrics = jax.lax.scan(minibatch_step, ts, shuffled)
+        return ts, jax.tree.map(jnp.mean, metrics)
+
+    epoch_keys = jax.random.split(key, cfg.epochs)
+    train_state, metrics = jax.lax.scan(epoch_step, train_state, epoch_keys)
+    return train_state, jax.tree.map(jnp.mean, metrics)

@@ -1,0 +1,199 @@
+"""Fused on-device rollout: policy inference + env.step in one ``lax.scan``.
+
+This replaces the reference's hot loop — a per-step Python ``while`` that
+crosses the host<->device boundary on every step
+(PPOV2.0/train_ppo2.0.py:156-198, SURVEY.md §3.1) — with a single compiled
+scan over T steps of N vmapped envs: the actor-critic forward is one batched
+MXU matmul, the env step is fused VPU arithmetic, and episode boundaries are
+branchless auto-resets.  Per-episode statistics (the reference's
+``episode_data`` accounting, train_ppo2.0.py:141-191) are carried as per-env
+accumulators and emitted as masked ``EpisodeRecord`` rows at done steps for
+host-side drain (CSV / NetCDF capture).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpu_plume.core.config import EnvConfig
+from tpu_plume.env.methane import EnvState, auto_reset, reset, step
+
+
+@struct.dataclass
+class EpisodeAccum:
+    """Running per-env episode totals (reference episode_data,
+    train_ppo2.0.py:141-155)."""
+
+    total_reward: jnp.ndarray
+    conc_reward: jnp.ndarray
+    explore_reward: jnp.ndarray
+    move_penalty: jnp.ndarray
+    tke_penalty: jnp.ndarray
+    boundary_penalty: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, n: int) -> "EpisodeAccum":
+        z = jnp.zeros(n, jnp.float32)
+        return cls(z, z, z, z, z, z)
+
+
+@struct.dataclass
+class EpisodeRecord:
+    """One completed-episode row, valid where ``done`` (masked drain).
+
+    Mirrors the reference's per-episode CSV row (train_ppo2.0.py:230-242)
+    plus the NetCDF per-episode scalars (netcdf_writer.py:89-114)."""
+
+    done: jnp.ndarray          # bool: row valid
+    success: jnp.ndarray       # bool: ended by reaching the source
+    total_reward: jnp.ndarray
+    steps: jnp.ndarray         # i32 episode length
+    conc_reward: jnp.ndarray
+    explore_reward: jnp.ndarray
+    move_penalty: jnp.ndarray
+    tke_penalty: jnp.ndarray
+    boundary_penalty: jnp.ndarray
+    final_conc: jnp.ndarray    # conc at the final cell (0 unless success)
+    final_x: jnp.ndarray
+    final_y: jnp.ndarray
+    source_x: jnp.ndarray
+    source_y: jnp.ndarray
+    radius: jnp.ndarray
+    distance: jnp.ndarray      # final distance to source
+
+
+@struct.dataclass
+class RolloutStep:
+    """Per-step outputs, stacked to [T, N, ...] by the scan."""
+
+    obs: jnp.ndarray           # f32[N, 6] obs the policy acted on
+    action: jnp.ndarray        # i32[N]
+    log_prob: jnp.ndarray      # f32[N]
+    value: jnp.ndarray         # f32[N]
+    reward: jnp.ndarray        # f32[N]
+    done: jnp.ndarray          # bool[N]
+    pos: jnp.ndarray           # f32[N, 2] post-step position (NetCDF x/y)
+    conc: jnp.ndarray          # f32[N] raw conc at new cell (NetCDF)
+    episode: EpisodeRecord     # valid where done
+
+
+@struct.dataclass
+class RolloutCarry:
+    env_state: EnvState        # batched [N, ...]
+    obs: jnp.ndarray           # f32[N, 6]
+    accum: EpisodeAccum
+    key: jax.Array
+
+
+def init_rollout(
+    key: jax.Array,
+    cfg: EnvConfig,
+    num_envs: int,
+    radius: jnp.ndarray | float | None = None,
+    explore_bonus: jnp.ndarray | float | None = None,
+) -> RolloutCarry:
+    key, sub = jax.random.split(key)
+    reset_keys = jax.random.split(sub, num_envs)
+    env_state, obs = jax.vmap(lambda k: reset(k, cfg, radius, explore_bonus))(reset_keys)
+    return RolloutCarry(
+        env_state=env_state,
+        obs=obs,
+        accum=EpisodeAccum.zeros(num_envs),
+        key=key,
+    )
+
+
+def rollout_chunk(
+    params: Any,
+    apply_fn: Callable,
+    carry: RolloutCarry,
+    cfg: EnvConfig,
+    length: int,
+    greedy: bool = False,
+):
+    """Run ``length`` fused policy+env steps for all envs.
+
+    Returns ``(carry', traj: RolloutStep[T, N, ...], bootstrap_value: f32[N])``
+    where ``bootstrap_value`` is V(obs_T) for GAE.  With ``greedy=True`` the
+    policy takes argmax actions (the reference evaluators' mode,
+    PPOV2.0/evaluate_with_lstm.py:79-82).
+    """
+    num_envs = carry.obs.shape[0]
+
+    def body(c: RolloutCarry, _):
+        key, k_act, k_step, k_reset = jax.random.split(c.key, 4)
+        logits, value = apply_fn(params, c.obs)
+        if greedy:
+            action = jnp.argmax(logits, axis=-1)
+        else:
+            action = jax.random.categorical(k_act, logits, axis=-1)
+        log_prob = jnp.take_along_axis(
+            jax.nn.log_softmax(logits), action[:, None], axis=-1
+        ).squeeze(-1)
+
+        step_keys = jax.random.split(k_step, num_envs)
+        env_state, trans = jax.vmap(lambda s, a, k: step(s, a, k, cfg))(
+            c.env_state, action, step_keys
+        )
+        info = trans.info
+
+        acc = EpisodeAccum(
+            total_reward=c.accum.total_reward + trans.reward,
+            conc_reward=c.accum.conc_reward + info.concentration_reward,
+            explore_reward=c.accum.explore_reward + info.explore_reward,
+            move_penalty=c.accum.move_penalty + info.move_penalty,
+            tke_penalty=c.accum.tke_penalty + info.tke_penalty,
+            boundary_penalty=c.accum.boundary_penalty + info.boundary_penalty,
+        )
+
+        # Reference: source_conc / final coords recorded only on success
+        # (train_ppo2.0.py:200-207).
+        success = info.reached
+        record = EpisodeRecord(
+            done=trans.done,
+            success=success,
+            total_reward=acc.total_reward,
+            steps=env_state.t,
+            conc_reward=acc.conc_reward,
+            explore_reward=acc.explore_reward,
+            move_penalty=acc.move_penalty,
+            tke_penalty=acc.tke_penalty,
+            boundary_penalty=acc.boundary_penalty,
+            final_conc=jnp.where(success, info.conc_raw, 0.0),
+            final_x=env_state.pos[:, 0],
+            final_y=env_state.pos[:, 1],
+            source_x=env_state.field.source[:, 0],
+            source_y=env_state.field.source[:, 1],
+            radius=env_state.radius,
+            distance=info.distance,
+        )
+
+        out = RolloutStep(
+            obs=c.obs,
+            action=action,
+            log_prob=log_prob,
+            value=value,
+            reward=trans.reward,
+            done=trans.done,
+            pos=env_state.pos,
+            conc=info.conc_raw,
+            episode=record,
+        )
+
+        # Clear accumulators for envs that finished, then auto-reset them.
+        done_f = trans.done.astype(jnp.float32)
+        acc = jax.tree.map(lambda x: x * (1.0 - done_f), acc)
+        reset_keys = jax.random.split(k_reset, num_envs)
+        env_state, next_obs = jax.vmap(
+            lambda s, o, d, k: auto_reset(s, o, d, k, cfg)
+        )(env_state, trans.obs, trans.done, reset_keys)
+
+        return RolloutCarry(env_state, next_obs, acc, key), out
+
+    carry, traj = jax.lax.scan(body, carry, None, length=length)
+    _, bootstrap_value = apply_fn(params, carry.obs)
+    return carry, traj, bootstrap_value

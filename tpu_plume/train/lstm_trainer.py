@@ -1,0 +1,253 @@
+"""LSTM stop-predictor training, jit-compiled BPTT.
+
+Two pipelines matching the reference:
+
+  - ``train_threshold_lstm`` — V2.0 (PPOV2.0/train_lstm.py:52-99): last-10
+    windows from training_data.nc, global MinMaxScaler, SmoothL1(beta=2),
+    AdamW lr 3e-4, ReduceLROnPlateau(factor .5, patience 5), grad-clip 1.0,
+    150 epochs; saves the model + scaler params.
+  - ``train_peak_stop_lstm`` — V2.1 (PPOV2.1/train_lstm.py:76-125): pos/neg
+    20-step windows, joint MSE(peak) + BCE(stop) loss, AdamW lr 1e-3 wd 1e-4,
+    best-loss checkpointing, 100 epochs.
+
+TPU-native form: an epoch is ONE device program — a ``lax.scan`` over
+shuffled minibatches with the LSTM unrolled by ``nn.RNN``'s internal scan;
+the host only reshuffles indices and steps the plateau scheduler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_plume.models import ConcentrationThresholdPredictor, PeakAndStopPredictor
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """torch.nn.SmoothL1Loss(beta): 0.5 x^2/beta for |x|<beta else |x|-beta/2."""
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff**2 / beta, diff - 0.5 * beta).mean()
+
+
+def bce(prob: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    p = jnp.clip(prob, eps, 1.0 - eps)
+    return -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p)).mean()
+
+
+class ReduceLROnPlateau:
+    """Host-side mirror of torch's scheduler (mode=min)."""
+
+    def __init__(self, lr: float, factor: float = 0.5, patience: int = 5):
+        self.lr, self.factor, self.patience = lr, factor, patience
+        self.best = float("inf")
+        self.bad = 0
+
+    def step(self, loss: float) -> float:
+        if loss < self.best:
+            self.best, self.bad = loss, 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.lr *= self.factor
+                self.bad = 0
+        return self.lr
+
+
+@dataclasses.dataclass
+class LSTMTrainResult:
+    params: Any
+    losses: list
+    out_dir: str
+    extra: dict
+
+
+def _epoch_runner(loss_fn: Callable, optimizer) -> Callable:
+    """Build a jitted epoch: scan over pre-shuffled minibatches."""
+
+    @jax.jit
+    def run_epoch(params, opt_state, lr, batches, keys):
+        def step(carry, xs):
+            params, opt_state = carry
+            batch, key = xs
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, key
+            )
+            updates, opt_state = optimizer.update(
+                grads, opt_state, params, learning_rate=lr
+            )
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (batches, keys)
+        )
+        return params, opt_state, losses.mean()
+
+    return run_epoch
+
+
+def _make_optimizer(weight_decay: float, clip: float):
+    """AdamW with injectable learning rate and global-norm clipping."""
+
+    class _Opt:
+        def init(self, params):
+            return {
+                "clip": optax.clip_by_global_norm(clip).init(params),
+                "adam": optax.scale_by_adam().init(params),
+            }
+
+        def update(self, grads, state, params, learning_rate):
+            g, clip_state = optax.clip_by_global_norm(clip).update(grads, state["clip"])
+            g, adam_state = optax.scale_by_adam().update(g, state["adam"])
+            g = jax.tree.map(
+                lambda u, p: -(learning_rate) * (u + weight_decay * p), g, params
+            )
+            return g, {"clip": clip_state, "adam": adam_state}
+
+    return _Opt()
+
+
+def _shuffle_batches(rng: np.random.Generator, n: int, batch: int):
+    perm = rng.permutation(n)
+    usable = (n // batch) * batch
+    if usable == 0:
+        raise ValueError(f"dataset of {n} samples smaller than batch {batch}")
+    return perm[:usable].reshape(-1, batch)
+
+
+def train_threshold_lstm(
+    sequences,
+    source_concs,
+    out_dir: str,
+    *,
+    window: int = 10,
+    epochs: int = 150,
+    batch_size: int = 64,
+    lr: float = 3e-4,
+    seed: int = 0,
+    verbose: bool = False,
+) -> LSTMTrainResult:
+    """V2.0 pipeline from raw sequences (as returned by
+    tpu_plume.data.load_raw_sequences)."""
+    from tpu_plume.data.datasets import tail_window_dataset
+    from tpu_plume.data.scaler import MinMaxScaler
+
+    os.makedirs(out_dir, exist_ok=True)
+    # filter short sequences (train_lstm.py:57-61)
+    pairs = [(s, c) for s, c in zip(sequences, source_concs) if len(s) >= window]
+    feats, targs = tail_window_dataset(
+        [p[0] for p in pairs], np.array([p[1] for p in pairs]), window
+    )
+    scaler = MinMaxScaler().fit(feats.reshape(-1, 1))
+    feats = scaler.transform(feats.reshape(-1, 1)).reshape(feats.shape).astype(np.float32)
+
+    model = ConcentrationThresholdPredictor()
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key, jnp.zeros((1, window)))
+    optimizer = _make_optimizer(weight_decay=1e-2, clip=1.0)  # torch AdamW default wd
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params, batch, dropout_key):
+        x, y = batch
+        pred = model.apply(
+            params, x, deterministic=False, rngs={"dropout": dropout_key}
+        )
+        return smooth_l1(pred, y, beta=2.0), {}
+
+    run_epoch = _epoch_runner(loss_fn, optimizer)
+    rng = np.random.default_rng(seed)
+    sched = ReduceLROnPlateau(lr)
+    x_dev, y_dev = jnp.asarray(feats), jnp.asarray(targs)
+    losses = []
+    cur_lr = lr
+    for epoch in range(epochs):
+        idx = _shuffle_batches(rng, len(feats), min(batch_size, len(feats)))
+        batches = (x_dev[idx], y_dev[idx])
+        keys = jax.random.split(jax.random.PRNGKey(seed * 10_000 + epoch), idx.shape[0])
+        params, opt_state, loss = run_epoch(params, opt_state, cur_lr, batches, keys)
+        loss = float(loss)
+        losses.append(loss)
+        cur_lr = sched.step(loss)
+        if verbose and (epoch + 1) % 10 == 0:
+            print(f"epoch {epoch + 1}, loss {loss:.4f}, lr {cur_lr:.2e}")
+
+    from tpu_plume.data.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.join(out_dir, "lstm_threshold_predictor"), {"params": params})
+    scaler.save(os.path.join(out_dir, "scaler_params.npy"))
+
+    # R^2 on the training fit (reference README claims R^2 = 0.82 on test).
+    pred = np.asarray(model.apply(params, x_dev))
+    ss_res = float(((pred - targs) ** 2).sum())
+    ss_tot = float(((targs - targs.mean()) ** 2).sum())
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else float("nan")
+    return LSTMTrainResult(params=params, losses=losses, out_dir=out_dir,
+                           extra={"r2": r2, "scaler": scaler})
+
+
+def train_peak_stop_lstm(
+    segments,
+    out_dir: str,
+    *,
+    window: int = 20,
+    epochs: int = 100,
+    batch_size: int = 64,
+    lr: float = 1e-3,
+    seed: int = 0,
+    verbose: bool = False,
+    bug_compat_dataset: bool = False,
+) -> LSTMTrainResult:
+    """V2.1 pipeline from trajectory segments (as returned by
+    tpu_plume.data.load_trajectory_segments)."""
+    from tpu_plume.data.datasets import peak_stop_dataset
+
+    os.makedirs(out_dir, exist_ok=True)
+    feats, labels = peak_stop_dataset(
+        segments, window_size=window, rng=np.random.default_rng(seed),
+        bug_compat=bug_compat_dataset,
+    )
+    if len(feats) == 0:
+        raise ValueError("no training samples collected — check window_size / data")
+
+    model = PeakAndStopPredictor()
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, window)))
+    optimizer = _make_optimizer(weight_decay=1e-4, clip=1.0)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params, batch, _key):
+        x, y = batch
+        peak, stop = model.apply(params, x)
+        return ((peak - y[:, 0]) ** 2).mean() + bce(stop, y[:, 1]), {}
+
+    run_epoch = _epoch_runner(loss_fn, optimizer)
+    rng = np.random.default_rng(seed)
+    sched = ReduceLROnPlateau(lr)
+    x_dev, y_dev = jnp.asarray(feats), jnp.asarray(labels)
+    losses, best_loss, best_params = [], float("inf"), params
+    cur_lr = lr
+    bs = min(batch_size, len(feats))
+    for epoch in range(epochs):
+        idx = _shuffle_batches(rng, len(feats), bs)
+        keys = jax.random.split(jax.random.PRNGKey(epoch), idx.shape[0])
+        params, opt_state, loss = run_epoch(
+            params, opt_state, cur_lr, (x_dev[idx], y_dev[idx]), keys
+        )
+        loss = float(loss)
+        losses.append(loss)
+        cur_lr = sched.step(loss)
+        if loss < best_loss:  # best-loss checkpointing (train_lstm.py:122-124)
+            best_loss, best_params = loss, params
+        if verbose and (epoch + 1) % 10 == 0:
+            print(f"epoch {epoch + 1}, loss {loss:.4f}, lr {cur_lr:.2e}")
+
+    from tpu_plume.data.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.join(out_dir, "best_peak_and_stop"), {"params": best_params})
+    return LSTMTrainResult(params=best_params, losses=losses, out_dir=out_dir,
+                           extra={"best_loss": best_loss})

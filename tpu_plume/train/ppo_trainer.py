@@ -1,0 +1,368 @@
+"""End-to-end PPO training orchestration.
+
+The TPU-native counterpart of the reference train loops
+(PPOV2.0/train_ppo2.0.py:110-265, PPOV1.1/train_ppo1.0.py:24-174,
+PPOV1.0/ppo0.0.py:292-472): one jitted ``train_step`` fuses
+
+    rollout (lax.scan of policy+env over N vmapped envs)
+      -> GAE (reverse scan)
+      -> PPO update (epochs x minibatches scans)
+      -> batched curriculum transition
+
+entirely on device; the host loop only drains completed-episode records for
+CSV stats (reference's training_results CSV), NetCDF trajectory capture of
+successful small-radius episodes (reference RadiusTracker gating,
+train_ppo2.0.py:90-108, 215-227), progress printing, and checkpointing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.training.train_state import TrainState
+
+from tpu_plume.core.config import TrainConfig
+from tpu_plume.models import ActorCritic
+from tpu_plume.obsv.metrics import EpisodeCSVLogger, Stopwatch, TrainLogger
+from tpu_plume.rl.curriculum import CurriculumState, curriculum_init, curriculum_update
+from tpu_plume.rl.gae import compute_gae
+from tpu_plume.rl.ppo import PPOBatch, normalize_advantages, ppo_update
+from tpu_plume.rollout.rollout import RolloutCarry, init_rollout, rollout_chunk
+
+
+@struct.dataclass
+class LoopCarry:
+    """Device-resident training loop state."""
+
+    train_state: TrainState
+    rollout: RolloutCarry
+    curriculum: CurriculumState
+    key: jax.Array
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Any
+    curriculum: Any
+    episodes: int
+    successes: int
+    env_steps: int
+    steps_per_sec: float
+    out_dir: str
+
+
+def make_train_state(cfg: TrainConfig, key: jax.Array) -> TrainState:
+    model = ActorCritic(num_actions=cfg.env.num_actions)
+    params = model.init(key, jnp.zeros((1, cfg.env.obs_dim)))
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
+        optax.adam(cfg.ppo.learning_rate),
+    )
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def build_train_step(cfg: TrainConfig, donate: bool = False) -> Callable:
+    """One fused training iteration; jit once per config.
+
+    ``donate`` donates the loop carry (saves a buffer copy per iteration) but
+    is unsupported by some PJRT transports (e.g. tunneled single-chip
+    backends return INVALID_ARGUMENT) — off by default."""
+    env_cfg, ppo_cfg, cur_cfg = cfg.env, cfg.ppo, cfg.curriculum
+    T = cfg.rollout.unroll_length
+
+    def train_step(loop: LoopCarry):
+        key, k_update = jax.random.split(loop.key)
+
+        # Push current curriculum values into every env (reference
+        # PPOTrainer.update assigns them onto the env, model.py:131-133).
+        n = loop.rollout.obs.shape[0]
+        env_state = loop.rollout.env_state.replace(
+            radius=jnp.broadcast_to(loop.curriculum.radius, (n,)),
+            explore_bonus=jnp.broadcast_to(loop.curriculum.explore_bonus, (n,)),
+        )
+        carry = loop.rollout.replace(env_state=env_state)
+
+        carry, traj, bootstrap = rollout_chunk(
+            loop.train_state.params, loop.train_state.apply_fn, carry, env_cfg, T
+        )
+
+        advantages, returns = compute_gae(
+            traj.reward, traj.value, traj.done, bootstrap,
+            ppo_cfg.gamma, ppo_cfg.gae_lambda,
+        )
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        adv_n = normalize_advantages(flat(advantages), ppo_cfg)
+        if ppo_cfg.bug_compat_returns:
+            # Reference quirk: returns built from *normalized* advantages
+            # (PPOV2.0/train_ppo2.0.py:40).
+            ret = adv_n + flat(traj.value)
+        else:
+            ret = flat(returns)
+        batch = PPOBatch(
+            obs=flat(traj.obs),
+            actions=flat(traj.action),
+            old_log_probs=flat(traj.log_prob),
+            advantages=adv_n,
+            returns=ret,
+            old_values=flat(traj.value),
+        )
+        train_state, loss_metrics = ppo_update(loop.train_state, batch, k_update, ppo_cfg)
+
+        new_episodes = traj.done.sum().astype(jnp.int32)
+        new_successes = (traj.done & traj.episode.success).sum().astype(jnp.int32)
+        curriculum = curriculum_update(
+            loop.curriculum, new_successes, new_episodes, cur_cfg
+        )
+
+        stats = dict(loss_metrics)
+        stats.update(
+            {
+                "rollout/mean_reward": traj.reward.mean(),
+                "rollout/episodes": new_episodes,
+                "rollout/successes": new_successes,
+                "curriculum/radius": curriculum.radius,
+                "curriculum/explore_bonus": curriculum.explore_bonus,
+                "curriculum/updates": curriculum.num_updates,
+            }
+        )
+        new_loop = LoopCarry(
+            train_state=train_state, rollout=carry, curriculum=curriculum, key=key
+        )
+        return new_loop, stats, traj
+
+    if donate:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step)
+
+
+class RadiusTracker:
+    """Host-side gate: capture only successful episodes at the two smallest
+    curriculum radii seen so far (reference train_ppo2.0.py:90-108)."""
+
+    def __init__(self):
+        self.radius_history: list[float] = []
+
+    def update(self, radius: float, is_success: bool) -> bool:
+        if is_success:
+            if radius not in self.radius_history:
+                self.radius_history.append(radius)
+                self.radius_history.sort()
+                if len(self.radius_history) > 2:
+                    del self.radius_history[-1]
+        return is_success and radius in self.radius_history
+
+
+class EpisodeAssembler:
+    """Reassembles per-episode (x, y, conc) trajectories from fixed-shape
+    rollout chunks — the host-side drain of the mask-based device buffers
+    (SURVEY.md §7 "hard parts": variable-length episode data)."""
+
+    def __init__(self, num_envs: int, max_steps: int):
+        self.x = np.full((num_envs, max_steps), np.nan, np.float32)
+        self.y = np.full((num_envs, max_steps), np.nan, np.float32)
+        self.c = np.full((num_envs, max_steps), np.nan, np.float32)
+        self.n = num_envs
+
+    def drain(self, traj_np: dict):
+        """Yields dicts of completed episodes in scan order."""
+        pos = traj_np["pos"]          # [T, N, 2]
+        conc = traj_np["conc"]        # [T, N]
+        done = traj_np["done"]        # [T, N]
+        steps = traj_np["steps"]      # [T, N] episode-step index (1-based)
+        rec = traj_np["episode"]
+        envs = np.arange(self.n)
+        for t in range(pos.shape[0]):
+            idx = np.minimum(steps[t] - 1, self.x.shape[1] - 1)
+            self.x[envs, idx] = pos[t, :, 0]
+            self.y[envs, idx] = pos[t, :, 1]
+            self.c[envs, idx] = conc[t]
+            for env in np.nonzero(done[t])[0]:
+                s = int(steps[t, env])
+                yield {
+                    "env": int(env),
+                    "steps": s,
+                    "x": self.x[env, :s].copy(),
+                    "y": self.y[env, :s].copy(),
+                    "conc": self.c[env, :s].copy(),
+                    **{k: np.asarray(v[t, env]) for k, v in rec.items()},
+                }
+
+
+def train_ppo(
+    cfg: TrainConfig,
+    out_dir: str,
+    *,
+    capture_netcdf: bool = False,
+    write_csv: bool = True,
+    use_tensorboard: bool = False,
+    max_iterations: int | None = None,
+    log_every: int = 10,
+    verbose: bool = True,
+) -> TrainResult:
+    """Train until ``cfg.total_episodes`` episodes complete (or
+    ``max_iterations`` train steps)."""
+    os.makedirs(out_dir, exist_ok=True)
+    key = jax.random.PRNGKey(cfg.seed)
+    k_model, k_roll, k_loop = jax.random.split(key, 3)
+
+    train_state = make_train_state(cfg, k_model)
+    curriculum = curriculum_init(cfg.curriculum, cfg.env.explore_bonus_init)
+    rollout = init_rollout(
+        k_roll, cfg.env, cfg.rollout.num_envs,
+        radius=cfg.curriculum.initial_radius,
+        explore_bonus=cfg.env.explore_bonus_init,
+    )
+    loop = LoopCarry(train_state=train_state, rollout=rollout, curriculum=curriculum, key=k_loop)
+    train_step = build_train_step(cfg)
+
+    csv_logger = EpisodeCSVLogger(os.path.join(out_dir, "training_results.csv")) if write_csv else None
+    train_logger = TrainLogger(out_dir, use_tensorboard)
+    nc_writer = None
+    tracker = RadiusTracker()
+    assembler = None
+    if capture_netcdf:
+        from tpu_plume.data.netcdf import NetCDFWriter
+
+        nc_writer = NetCDFWriter(
+            os.path.join(out_dir, "training_data.nc"),
+            grid_size=cfg.env.grid_size,
+            max_episodes=cfg.total_episodes,
+            max_steps=cfg.env.max_steps,
+            with_gaussian_params=cfg.name == "ppo_v2_1",
+        )
+        assembler = EpisodeAssembler(cfg.rollout.num_envs, cfg.env.max_steps)
+
+    watch = Stopwatch()
+    episodes = successes = env_steps = nc_written = 0
+    iteration = 0
+    t_start = time.perf_counter()
+
+    while episodes < cfg.total_episodes:
+        if max_iterations is not None and iteration >= max_iterations:
+            break
+        watch.start("step")
+        loop, stats, traj = train_step(loop)
+        jax.block_until_ready(stats["loss/total"])
+        watch.stop("step")
+        iteration += 1
+        env_steps += cfg.rollout.num_envs * cfg.rollout.unroll_length
+
+        # Host drain.
+        need_records = csv_logger is not None or nc_writer is not None
+        if need_records:
+            ep = traj.episode
+            rec_np = {
+                "done": np.asarray(ep.done),
+                "success": np.asarray(ep.success),
+                "total_reward": np.asarray(ep.total_reward),
+                "steps": np.asarray(ep.steps),
+                "conc_reward": np.asarray(ep.conc_reward),
+                "explore_reward": np.asarray(ep.explore_reward),
+                "move_penalty": np.asarray(ep.move_penalty),
+                "tke_penalty": np.asarray(ep.tke_penalty),
+                "boundary_penalty": np.asarray(ep.boundary_penalty),
+                "final_conc": np.asarray(ep.final_conc),
+                "radius": np.asarray(ep.radius),
+            }
+            if csv_logger is not None:
+                csv_logger.log_records(rec_np)
+            if nc_writer is not None:
+                traj_np = {
+                    "pos": np.asarray(traj.pos),
+                    "conc": np.asarray(traj.conc),
+                    "done": rec_np["done"],
+                    "steps": rec_np["steps"],
+                    "episode": {
+                        "success": rec_np["success"],
+                        "final_conc": rec_np["final_conc"],
+                        "final_x": np.asarray(ep.final_x),
+                        "final_y": np.asarray(ep.final_y),
+                        "radius": rec_np["radius"],
+                    },
+                }
+                for done_ep in assembler.drain(traj_np):
+                    if nc_written >= cfg.total_episodes:
+                        break
+                    if tracker.update(float(done_ep["radius"]), bool(done_ep["success"])):
+                        nc_writer.write_episode_data(
+                            episode_idx=nc_written,
+                            steps=done_ep["steps"],
+                            x=done_ep["x"],
+                            y=done_ep["y"],
+                            conc=done_ep["conc"],
+                            source_x=float(done_ep["final_x"]),
+                            source_y=float(done_ep["final_y"]),
+                            source_conc=float(done_ep["final_conc"]),
+                            sigma=cfg.env.plume_sigma,
+                            peak=cfg.env.conc_peak,
+                        )
+                        nc_written += 1
+
+        episodes += int(stats["rollout/episodes"])
+        successes += int(stats["rollout/successes"])
+
+        if iteration % log_every == 0 or episodes >= cfg.total_episodes:
+            dt = time.perf_counter() - t_start
+            sps = env_steps / max(dt, 1e-9)
+            scalars = {k: float(v) for k, v in stats.items()}
+            scalars.update(
+                {
+                    "throughput/env_steps_per_sec": sps,
+                    "progress/episodes": episodes,
+                    "progress/successes": successes,
+                }
+            )
+            train_logger.log(iteration, scalars)
+            if verbose:
+                print(
+                    f"iter {iteration:5d} | eps {episodes:6d} | "
+                    f"succ {successes / max(episodes, 1):5.1%} | "
+                    f"radius {float(loop.curriculum.radius):5.1f} | "
+                    f"reward/step {float(stats['rollout/mean_reward']):7.3f} | "
+                    f"{sps / 1e6:6.2f}M steps/s",
+                    flush=True,
+                )
+
+    total_dt = time.perf_counter() - t_start
+    if csv_logger is not None:
+        csv_logger.close()
+    if nc_writer is not None:
+        nc_writer.close()
+    train_logger.close()
+
+    # Checkpoints: full-resume Orbax bundle + reference-name torch export.
+    from tpu_plume.data.checkpoint import save_checkpoint
+    from tpu_plume.data.torch_export import export_actor_critic_pth
+
+    params = jax.device_get(loop.train_state.params)
+    save_checkpoint(
+        os.path.join(out_dir, "checkpoint"),
+        {
+            "params": params,
+            "opt_state": jax.device_get(loop.train_state.opt_state),
+            "curriculum": jax.device_get(loop.curriculum),
+            "key": jax.device_get(loop.key),
+            "episodes": episodes,
+        },
+    )
+    model_dir = os.path.join(out_dir, "model")
+    os.makedirs(model_dir, exist_ok=True)
+    export_actor_critic_pth(params, os.path.join(model_dir, "ppo_successful_models.pth"))
+
+    return TrainResult(
+        params=params,
+        curriculum=jax.device_get(loop.curriculum),
+        episodes=episodes,
+        successes=successes,
+        env_steps=env_steps,
+        steps_per_sec=env_steps / max(total_dt, 1e-9),
+        out_dir=out_dir,
+    )
