@@ -1,0 +1,184 @@
+"""Anisotropic plume, gridded field bank, and ops kernels tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_plume.core.config import EnvConfig, get_preset
+from tpu_plume.env import methane
+from tpu_plume.fields.analytic import FieldState, materialize_fields, new_field, sample_conc_tke
+from tpu_plume.fields.gridded import (
+    FieldBank,
+    export_bank_netcdf,
+    ingest_netcdf,
+    synthesize_bank,
+)
+from tpu_plume.ops.gather import bank_cell_lookup, bilinear_onehot, bilinear_xla
+
+
+def _aniso_cfg(**kw):
+    return EnvConfig(
+        plume_model="anisotropic", wind_speed_range=(1.0, 4.0), max_steps=50, **kw
+    )
+
+
+def test_anisotropic_field_shape():
+    cfg = _aniso_cfg()
+    field = new_field(jax.random.PRNGKey(0), cfg)
+    assert float(jnp.linalg.norm(field.wind)) >= 1.0
+    src = np.asarray(field.source)
+    u = np.asarray(field.wind) / np.linalg.norm(field.wind)
+
+    def conc_at(p):
+        ix = jnp.int32(int(p[0]))
+        iy = jnp.int32(int(p[1]))
+        c, _ = sample_conc_tke(field, ix, iy, cfg)
+        return float(c)
+
+    # near-source is near peak
+    assert conc_at(src) > 0.8 * cfg.conc_peak
+    # downwind centerline at distance d: wider but weaker than at the source
+    d1 = src + 30 * u
+    d2 = src + 120 * u
+    if np.all(d2 > 1) and np.all(d2 < cfg.grid_size - 1):
+        assert conc_at(d1) > conc_at(d2) > 0
+        # crosswind falloff at fixed downwind distance
+        perp = np.array([-u[1], u[0]])
+        on_axis = conc_at(d1)
+        off_axis = conc_at(d1 + 40 * perp)
+        assert on_axis > off_axis
+    # far upwind is near zero (minus turbulence)
+    up = src - 150 * u
+    if np.all(up > 1) and np.all(up < cfg.grid_size - 1):
+        assert conc_at(up) < 0.3 * cfg.conc_peak
+
+
+def test_wrf_les_preset_rollout():
+    from tpu_plume.models import ActorCritic
+    from tpu_plume.rollout import init_rollout, rollout_chunk
+
+    cfg = get_preset("wrf_les").env
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, max_steps=30)
+    model = ActorCritic()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6)))
+    carry = init_rollout(jax.random.PRNGKey(1), cfg, 16)
+    carry, traj, _ = rollout_chunk(params, model.apply, carry, cfg, 40)
+    assert np.isfinite(np.asarray(traj.reward)).all()
+    assert np.asarray(traj.done).sum() > 0
+
+
+def test_synthesize_bank_and_gridded_env():
+    cfg = EnvConfig(plume_model="gridded", max_steps=30, plume_sigma=500 / 16)
+    bank = synthesize_bank(jax.random.PRNGKey(0), cfg, num_fields=4)
+    assert bank.conc.shape == (4, 500, 500)
+    # peak near each source
+    for k in range(4):
+        sx, sy = np.asarray(bank.source[k]).astype(int)
+        assert float(bank.conc[k, sx, sy]) > 0.8 * cfg.conc_peak
+
+    # env runs against the bank; conc_raw consistent with direct lookup
+    state, obs = methane.reset(jax.random.PRNGKey(1), cfg, bank=bank)
+    assert int(state.field.idx) in range(4)
+    np.testing.assert_allclose(
+        np.asarray(state.field.source), np.asarray(bank.source[int(state.field.idx)])
+    )
+    key = jax.random.PRNGKey(2)
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        state, tr = methane.step(state, jnp.int32(i % 5), sub, cfg, bank)
+        assert np.isfinite(float(tr.reward))
+
+    # vmapped rollout over the shared bank
+    from tpu_plume.models import ActorCritic
+    from tpu_plume.rollout import init_rollout, rollout_chunk
+
+    model = ActorCritic()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6)))
+    carry = init_rollout(jax.random.PRNGKey(3), cfg, 8, bank=bank)
+    carry, traj, _ = jax.jit(
+        rollout_chunk, static_argnames=("apply_fn", "cfg", "length", "greedy")
+    )(params, model.apply, carry, cfg, 35, False, bank)
+    assert np.asarray(traj.done).sum() > 0
+
+
+def test_bank_netcdf_roundtrip(tmp_path):
+    cfg = EnvConfig(plume_model="gridded")
+    bank = synthesize_bank(jax.random.PRNGKey(0), cfg, num_fields=3)
+    path = str(tmp_path / "bank.nc")
+    export_bank_netcdf(bank, path)
+    loaded = ingest_netcdf(path)
+    np.testing.assert_allclose(np.asarray(loaded.conc), np.asarray(bank.conc), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.source), np.asarray(bank.source))
+
+
+def test_bank_cell_lookup():
+    conc = jnp.arange(2 * 4 * 4, dtype=jnp.float32).reshape(2, 4, 4)
+    idx = jnp.array([0, 1, 1])
+    ix = jnp.array([1, 2, 3])
+    iy = jnp.array([0, 3, 3])
+    out = bank_cell_lookup(conc, idx, ix, iy)
+    np.testing.assert_array_equal(np.asarray(out), [4.0, 16 + 11.0, 16 + 15.0])
+
+
+def _naive_bilinear(field, pts):
+    h, w = field.shape
+    out = []
+    for x, y in pts:
+        x = min(max(x, 0), h - 1)
+        y = min(max(y, 0), w - 1)
+        x0 = min(int(np.floor(x)), h - 2)
+        y0 = min(int(np.floor(y)), w - 2)
+        fx, fy = x - x0, y - y0
+        out.append(
+            field[x0, y0] * (1 - fx) * (1 - fy)
+            + field[x0, y0 + 1] * (1 - fx) * fy
+            + field[x0 + 1, y0] * fx * (1 - fy)
+            + field[x0 + 1, y0 + 1] * fx * fy
+        )
+    return np.array(out)
+
+
+def test_bilinear_samplers_agree():
+    rng = np.random.RandomState(0)
+    field = rng.rand(37, 53).astype(np.float32)
+    pts = rng.rand(200, 2).astype(np.float32) * [36.5, 52.5]
+    expect = _naive_bilinear(field, pts)
+    out_xla = np.asarray(bilinear_xla(jnp.array(field), jnp.array(pts)))
+    out_oh = np.asarray(bilinear_onehot(jnp.array(field), jnp.array(pts)))
+    np.testing.assert_allclose(out_xla, expect, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_oh, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_pallas_interpret():
+    from tpu_plume.ops.pallas_gather import bilinear_pallas
+
+    rng = np.random.RandomState(1)
+    field = rng.rand(64, 96).astype(np.float32)
+    pts = rng.rand(300, 2).astype(np.float32) * [63.0, 95.0]
+    expect = _naive_bilinear(field, pts)
+    out = np.asarray(bilinear_pallas(jnp.array(field), jnp.array(pts), interpret=True))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_plume_matches_analytic():
+    from tpu_plume.ops.pallas_plume import sample_plume_pallas
+
+    cfg = EnvConfig(plume_sigma=500 / 16)
+    n = 300
+    rng = np.random.RandomState(2)
+    pos = jnp.asarray(rng.rand(n, 2).astype(np.float32) * 499)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    fields = jax.vmap(lambda k: new_field(k, cfg))(keys)
+
+    conc_k, tke_k = sample_plume_pallas(
+        pos, fields.source, fields.seed, cfg, interpret=True
+    )
+    ix = jnp.clip(jnp.floor(pos[:, 0]).astype(jnp.int32), 0, 499)
+    iy = jnp.clip(jnp.floor(pos[:, 1]).astype(jnp.int32), 0, 499)
+    conc_ref, tke_ref = jax.vmap(
+        lambda f, a, b: sample_conc_tke(f, a, b, cfg)
+    )(fields, ix, iy)
+    np.testing.assert_allclose(np.asarray(conc_k), np.asarray(conc_ref), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tke_k), np.asarray(tke_ref), rtol=1e-5, atol=1e-4)

@@ -33,6 +33,19 @@ class EnvConfig:
     plume_sigma: float = 31.25         # grid_size/16 in V1.x; GAUSSIAN_RADIUS=15.0 in V2.1
     turbulence_intensity: float = 3.0  # TURBULENCE_INTENSITY
     source_padding: float = 50.0       # reset(): source ~ U(padding, grid-padding)^2
+    # Plume model selector:
+    #   "isotropic"   — the reference code's isotropic Gaussian (default);
+    #   "anisotropic" — the README-specified Gaussian dispersion
+    #                   sigma_y = 0.3 x^0.71 with wind advection (README.md:97
+    #                   — specified by the reference but never implemented);
+    #   "gridded"     — fields sampled from an HBM-resident FieldBank
+    #                   (WRF-LES NetCDF ingest or synthetic), see
+    #                   tpu_plume.fields.gridded.
+    plume_model: str = "isotropic"
+    sigma_y_coef: float = 0.3
+    sigma_y_exp: float = 0.71
+    sigma_y_min: float = 5.0           # near-source crosswind spread floor
+    wind_speed_range: tuple = (0.0, 0.0)  # per-episode |wind|, grid units/step
     # V1.0 uses signed randn for the turbulence normal term and
     # tke_field = |turbulence| * 2 (PPOV1.0/ppo0.0.py:108-114); V1.1+ uses
     # |randn| and tke_field = turbulence (PPOV1.1/environment.py:56-62).
@@ -226,10 +239,16 @@ def _v2_1() -> TrainConfig:
 def _wrf_les() -> TrainConfig:
     """North-star config: anisotropic Gaussian dispersion sigma_y=0.3 x^0.71
     with wind advection (README.md:97 of the reference — specified but never
-    implemented there), backed by gridded/WRF-LES fields."""
+    implemented there).  Use ``fields.gridded`` + ``plume_model="gridded"``
+    for real WRF-LES NetCDF fields."""
     return TrainConfig(
         name="wrf_les",
-        env=EnvConfig(max_steps=1000, plume_sigma=15.0),
+        env=EnvConfig(
+            max_steps=1000,
+            plume_sigma=15.0,
+            plume_model="anisotropic",
+            wind_speed_range=(1.0, 4.0),
+        ),
         rollout=RolloutConfig(num_envs=4096, unroll_length=128),
     )
 

@@ -15,13 +15,17 @@ The hash is a counter-based 32-bit finalizer (xxhash/murmur-style avalanche)
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-_M1 = jnp.uint32(0x7FEB352D)
-_M2 = jnp.uint32(0x846CA68B)
-_C1 = jnp.uint32(0x9E3779B9)
-_C2 = jnp.uint32(0x85EBCA6B)
-_C3 = jnp.uint32(0xC2B2AE35)
+# numpy scalars (not device arrays) so these inline as literals everywhere,
+# including inside Pallas kernels.
+_M1 = np.uint32(0x7FEB352D)
+_M2 = np.uint32(0x846CA68B)
+_C1 = np.uint32(0x9E3779B9)
+_C2 = np.uint32(0x85EBCA6B)
+_C3 = np.uint32(0xC2B2AE35)
 
 _TWO_PI = 6.283185307179586
 _INV_2_24 = 1.0 / (1 << 24)
@@ -48,8 +52,13 @@ def hash_cell(seed: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray, salt: int) ->
 
 
 def bits_to_uniform(bits: jnp.ndarray) -> jnp.ndarray:
-    """uint32 -> float32 uniform in [0, 1) using the top 24 bits."""
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(_INV_2_24)
+    """uint32 -> float32 uniform in [0, 1) using the top 24 bits.
+
+    The shifted value fits in 24 bits, so bitcasting to int32 preserves it —
+    needed because Mosaic (TPU Pallas) has no uint32->float32 cast."""
+    shifted = bits >> jnp.uint32(8)
+    as_int = jax.lax.bitcast_convert_type(shifted, jnp.int32)
+    return as_int.astype(jnp.float32) * jnp.float32(_INV_2_24)
 
 
 def cell_uniform(seed, ix, iy, salt: int) -> jnp.ndarray:

@@ -75,10 +75,10 @@ def _explore_cell(pos: jnp.ndarray, cfg: EnvConfig):
     return c[0], c[1]
 
 
-def observe(state: EnvState, cfg: EnvConfig) -> jnp.ndarray:
+def observe(state: EnvState, cfg: EnvConfig, bank=None) -> jnp.ndarray:
     """Reference ``_get_obs`` (PPOV1.1/environment.py:64-80)."""
     ix, iy = _cell(state.pos, cfg)
-    conc, tke = sample_conc_tke(state.field, ix, iy, cfg)
+    conc, tke = sample_conc_tke(state.field, ix, iy, cfg, bank)
     cx, cy = _explore_cell(state.pos, cfg)
     visits = state.visited[cx, cy].astype(jnp.float32)
     explore_level = jnp.minimum(visits / cfg.explore_visit_norm, 1.0)
@@ -99,6 +99,7 @@ def reset(
     cfg: EnvConfig,
     radius: jnp.ndarray | float | None = None,
     explore_bonus: jnp.ndarray | float | None = None,
+    bank=None,
 ):
     """Reference ``reset`` (PPOV1.1/environment.py:41-49): fresh source +
     field, agent at the origin, cleared visit grid.  Curriculum values are
@@ -112,11 +113,11 @@ def reset(
         pos=jnp.zeros(2, jnp.float32),
         t=jnp.zeros((), jnp.int32),
         visited=jnp.zeros((d, d), jnp.int32),
-        field=new_field(key, cfg),
+        field=new_field(key, cfg, bank),
         radius=jnp.asarray(radius, jnp.float32),
         explore_bonus=jnp.asarray(explore_bonus, jnp.float32),
     )
-    return state, observe(state, cfg)
+    return state, observe(state, cfg, bank)
 
 
 # Action table (reference step(): stay / +y / -y / +x / -x, environment.py:91-93).
@@ -128,7 +129,7 @@ def _action_delta(action: jnp.ndarray, move_step: float) -> jnp.ndarray:
     return table[action]
 
 
-def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig):
+def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig, bank=None):
     """Reference ``step`` (PPOV1.1/environment.py:82-168), order-faithful."""
     g = float(cfg.grid_size)
     move_step = cfg.move_step
@@ -138,7 +139,7 @@ def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig):
 
     # Concentration before the move, at the old cell (lines 86-88).
     ix0, iy0 = _cell(state.pos, cfg)
-    prev_conc, prev_tke = sample_conc_tke(state.field, ix0, iy0, cfg)
+    prev_conc, prev_tke = sample_conc_tke(state.field, ix0, iy0, cfg, bank)
     prev_conc_n = prev_conc / cfg.conc_peak
 
     # Deterministic displacement + move penalty (lines 91-95).
@@ -169,7 +170,7 @@ def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig):
     # Boundary penalty: fires near a wall while moving down-gradient
     # (lines 108-124).
     ix1, iy1 = _cell(new_pos, cfg)
-    cur_conc, cur_tke = sample_conc_tke(state.field, ix1, iy1, cfg)
+    cur_conc, cur_tke = sample_conc_tke(state.field, ix1, iy1, cfg, bank)
     cur_conc_n = cur_conc / cfg.conc_peak
     conc_gradient = (cur_conc_n - prev_conc_n) / (delta_norm + 1e-6)
     boundary_dist = jnp.minimum(
@@ -196,7 +197,7 @@ def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig):
     )
 
     new_state = state.replace(pos=new_pos.astype(jnp.float32), t=t_new, visited=visited)
-    obs = observe(new_state, cfg)
+    obs = observe(new_state, cfg, bank)
 
     tke_n = cur_tke / tke_norm
     conc_reward = cfg.conc_reward_coef * cur_conc_n
@@ -237,13 +238,14 @@ def auto_reset(
     done: jnp.ndarray,
     key: jax.Array,
     cfg: EnvConfig,
+    bank=None,
 ):
     """Branchless episode boundary: when ``done``, swap in a freshly-reset
     state (new source + turbulence seed) while carrying the curriculum values.
     Replaces the reference's per-episode Python ``env.reset()`` so the whole
     rollout stays inside one compiled scan.  ``obs`` is the post-step
     observation (from the Transition) to avoid recomputing it."""
-    fresh, fresh_obs = reset(key, cfg, state.radius, state.explore_bonus)
+    fresh, fresh_obs = reset(key, cfg, state.radius, state.explore_bonus, bank)
     next_state = jax.tree.map(
         lambda a, b: jnp.where(done, a, b), fresh, state
     )

@@ -33,22 +33,42 @@ _SALT_UNIFORM = 2
 
 @struct.dataclass
 class FieldState:
-    """Per-episode plume field: a float source position + a turbulence seed."""
+    """Per-episode plume field: a float source position, a turbulence seed,
+    a per-episode wind vector (anisotropic model; zeros otherwise), and a
+    bank row index (gridded model; 0 otherwise)."""
 
     source: jnp.ndarray      # f32[2]
     seed: jnp.ndarray        # uint32 scalar
+    wind: jnp.ndarray        # f32[2] advection velocity (grid units / step)
+    idx: jnp.ndarray         # i32 gridded-bank row
 
 
-def new_field(key: jax.Array, cfg: EnvConfig) -> FieldState:
+def new_field(key: jax.Array, cfg: EnvConfig, bank=None) -> FieldState:
     """Draw a fresh episode field (reference reset(): source ~
     U(padding, grid-padding)^2 + new random turbulence,
-    PPOV1.1/environment.py:41-49)."""
-    k_src, k_seed = jax.random.split(key)
+    PPOV1.1/environment.py:41-49).  With ``plume_model="gridded"`` the
+    source comes from the sampled bank row instead."""
+    k_src, k_seed, k_wind = jax.random.split(key, 3)
     lo = cfg.source_padding
     hi = cfg.grid_size - cfg.source_padding
-    source = jax.random.uniform(k_src, (2,), jnp.float32, lo, hi)
     seed = jax.random.randint(k_seed, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
-    return FieldState(source=source, seed=seed)
+    w_lo, w_hi = cfg.wind_speed_range
+    if cfg.plume_model == "anisotropic" and w_hi > 0:
+        k_speed, k_dir = jax.random.split(k_wind)
+        speed = jax.random.uniform(k_speed, (), jnp.float32, w_lo, w_hi)
+        theta = jax.random.uniform(k_dir, (), jnp.float32, 0.0, 2.0 * jnp.pi)
+        wind = speed * jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+    else:
+        wind = jnp.zeros(2, jnp.float32)
+    if cfg.plume_model == "gridded":
+        if bank is None:
+            raise ValueError('plume_model="gridded" requires a FieldBank')
+        idx = jax.random.randint(k_src, (), 0, bank.conc.shape[0])
+        source = bank.source[idx]
+    else:
+        idx = jnp.zeros((), jnp.int32)
+        source = jax.random.uniform(k_src, (2,), jnp.float32, lo, hi)
+    return FieldState(source=source, seed=seed, wind=wind, idx=idx)
 
 
 def _turbulence(field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvConfig) -> jnp.ndarray:
@@ -62,27 +82,67 @@ def _turbulence(field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvCon
     return cfg.turbulence_intensity * (n + wave + 0.2 * u)
 
 
-def sample_conc_tke(field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvConfig):
+def _isotropic_base(field: FieldState, fx, fy, cfg: EnvConfig):
+    dx = fx - field.source[0]
+    dy = fy - field.source[1]
+    d2 = dx * dx + dy * dy
+    return cfg.conc_peak * jnp.exp(-d2 / (2.0 * cfg.plume_sigma**2))
+
+
+def _anisotropic_base(field: FieldState, fx, fy, cfg: EnvConfig):
+    """README-formula Gaussian dispersion: sigma_y = 0.3 d^0.71 crosswind
+    spread growing downwind, centerline decaying by mass conservation, a
+    sigma_y_min-sized kernel upwind of / around the source (README.md:97 of
+    the reference; never implemented in its code — see SURVEY.md §2.2)."""
+    rel = jnp.stack([fx - field.source[0], fy - field.source[1]], axis=-1)
+    speed = jnp.linalg.norm(field.wind) + 1e-8
+    u = field.wind / speed
+    downwind = rel[..., 0] * u[0] + rel[..., 1] * u[1]
+    cross2 = jnp.maximum(
+        rel[..., 0] ** 2 + rel[..., 1] ** 2 - downwind**2, 0.0
+    )
+    d = jnp.maximum(downwind, 0.0)
+    sigma = jnp.maximum(cfg.sigma_y_min, cfg.sigma_y_coef * d**cfg.sigma_y_exp)
+    centerline = cfg.conc_peak * (cfg.sigma_y_min / sigma)
+    plume = centerline * jnp.exp(-cross2 / (2.0 * sigma**2))
+    # upwind: compact isotropic kernel so the source itself remains findable
+    r2 = rel[..., 0] ** 2 + rel[..., 1] ** 2
+    blob = cfg.conc_peak * jnp.exp(-r2 / (2.0 * cfg.sigma_y_min**2))
+    return jnp.where(downwind >= 0.0, jnp.maximum(plume, blob), blob)
+
+
+def sample_conc_tke(
+    field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvConfig, bank=None
+):
     """Concentration and TKE at integer cell(s) (ix, iy). Broadcasts.
 
     Matches reading ``conc_field[ix, iy]`` / ``tke_field[ix, iy]`` of the
-    reference's materialized arrays.
+    reference's materialized arrays.  For ``plume_model="gridded"`` the base
+    concentration is looked up from the HBM-resident bank row instead of
+    evaluated analytically (turbulence stays procedural so gridded banks only
+    need the mean field).
     """
-    dx = ix.astype(jnp.float32) - field.source[0]
-    dy = iy.astype(jnp.float32) - field.source[1]
-    d2 = dx * dx + dy * dy
-    base = cfg.conc_peak * jnp.exp(-d2 / (2.0 * cfg.plume_sigma**2))
+    fx = ix.astype(jnp.float32)
+    fy = iy.astype(jnp.float32)
+    if cfg.plume_model == "gridded":
+        if bank is None:
+            raise ValueError('plume_model="gridded" requires a FieldBank')
+        base = bank.conc[field.idx, ix, iy]
+    elif cfg.plume_model == "anisotropic":
+        base = _anisotropic_base(field, fx, fy, cfg)
+    else:
+        base = _isotropic_base(field, fx, fy, cfg)
     turb = _turbulence(field, ix, iy, cfg)
     conc = jnp.clip(base + turb, 0.0, cfg.conc_peak)
     tke = jnp.abs(turb) * 2.0 if cfg.tke_abs_times_two else turb
     return conc, tke
 
 
-def materialize_fields(field: FieldState, cfg: EnvConfig):
+def materialize_fields(field: FieldState, cfg: EnvConfig, bank=None):
     """Materialize full (grid, grid) conc/tke arrays — for tests, plotting,
     and parity checks against the reference's per-reset arrays.  Not used in
     the training hot path."""
     g = cfg.grid_size
     ix = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
     iy = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    return sample_conc_tke(field, ix, iy, cfg)
+    return sample_conc_tke(field, ix, iy, cfg, bank)

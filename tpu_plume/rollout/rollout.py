@@ -95,10 +95,11 @@ def init_rollout(
     num_envs: int,
     radius: jnp.ndarray | float | None = None,
     explore_bonus: jnp.ndarray | float | None = None,
+    bank=None,
 ) -> RolloutCarry:
     key, sub = jax.random.split(key)
     reset_keys = jax.random.split(sub, num_envs)
-    env_state, obs = jax.vmap(lambda k: reset(k, cfg, radius, explore_bonus))(reset_keys)
+    env_state, obs = jax.vmap(lambda k: reset(k, cfg, radius, explore_bonus, bank))(reset_keys)
     return RolloutCarry(
         env_state=env_state,
         obs=obs,
@@ -114,6 +115,7 @@ def rollout_chunk(
     cfg: EnvConfig,
     length: int,
     greedy: bool = False,
+    bank=None,
 ):
     """Run ``length`` fused policy+env steps for all envs.
 
@@ -136,7 +138,7 @@ def rollout_chunk(
         ).squeeze(-1)
 
         step_keys = jax.random.split(k_step, num_envs)
-        env_state, trans = jax.vmap(lambda s, a, k: step(s, a, k, cfg))(
+        env_state, trans = jax.vmap(lambda s, a, k: step(s, a, k, cfg, bank))(
             c.env_state, action, step_keys
         )
         info = trans.info
@@ -189,7 +191,7 @@ def rollout_chunk(
         acc = jax.tree.map(lambda x: x * (1.0 - done_f), acc)
         reset_keys = jax.random.split(k_reset, num_envs)
         env_state, next_obs = jax.vmap(
-            lambda s, o, d, k: auto_reset(s, o, d, k, cfg)
+            lambda s, o, d, k: auto_reset(s, o, d, k, cfg, bank)
         )(env_state, trans.obs, trans.done, reset_keys)
 
         return RolloutCarry(env_state, next_obs, acc, key), out

@@ -69,7 +69,7 @@ def make_train_state(cfg: TrainConfig, key: jax.Array) -> TrainState:
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def build_train_step(cfg: TrainConfig, donate: bool = False) -> Callable:
+def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Callable:
     """One fused training iteration; jit once per config.
 
     ``donate`` donates the loop carry (saves a buffer copy per iteration) but
@@ -91,7 +91,8 @@ def build_train_step(cfg: TrainConfig, donate: bool = False) -> Callable:
         carry = loop.rollout.replace(env_state=env_state)
 
         carry, traj, bootstrap = rollout_chunk(
-            loop.train_state.params, loop.train_state.apply_fn, carry, env_cfg, T
+            loop.train_state.params, loop.train_state.apply_fn, carry, env_cfg, T,
+            bank=bank,
         )
 
         advantages, returns = compute_gae(
