@@ -174,15 +174,18 @@ def measure_tpu(num_envs: int, unroll: int, iters: int, minibatches: int = 8) ->
     )
     train_step = build_train_step(cfg)
 
+    # NOTE: sync via a scalar host transfer each iteration — on tunneled
+    # PJRT backends block_until_ready can return before execution finishes,
+    # which silently under-measures.
     t0 = time.perf_counter()
     loop, stats, _ = train_step(loop)
-    jax.block_until_ready(stats["loss/total"])
+    _ = float(stats["loss/total"])
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(iters):
         loop, stats, _ = train_step(loop)
-    jax.block_until_ready(stats["loss/total"])
+        _ = float(stats["loss/total"])
     dt = time.perf_counter() - t0
 
     steps = num_envs * unroll * iters

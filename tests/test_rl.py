@@ -66,8 +66,11 @@ def test_advantage_normalization_guard():
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
-def _make_state_and_batch(B=512, key=jax.random.PRNGKey(0)):
-    cfg = PPOConfig(minibatch_size=128, epochs=2, learning_rate=1e-3)
+def _make_state_and_batch(B=512, key=jax.random.PRNGKey(0), **cfg_kw):
+    cfg = PPOConfig(
+        minibatch_size=128, epochs=2, learning_rate=1e-3,
+        shuffle_mode=cfg_kw.pop("shuffle_mode", "sort"), **cfg_kw,
+    )
     model = ActorCritic()
     k1, k2, k3 = jax.random.split(key, 3)
     params = model.init(k1, jnp.zeros((1, 6)))
@@ -102,6 +105,47 @@ def test_ppo_update_reduces_value_loss():
     _, m1 = ppo_loss(ts2.params, ts2.apply_fn, batch, cfg)
     assert float(m1["loss/value"]) < float(m0["loss/value"])
     assert int(ts2.step) == cfg.epochs * (512 // cfg.minibatch_size)
+
+
+def test_ppo_update_affine_shuffle():
+    """The O(1) affine shuffle must behave like a real permutation: the
+    update runs, steps count, and repeated updates reduce total loss."""
+    cfg, ts, batch = _make_state_and_batch(shuffle_mode="affine")
+    _, m0 = ppo_loss(ts.params, ts.apply_fn, batch, cfg)
+    for i in range(4):
+        ts, _ = jax.jit(ppo_update, static_argnames="cfg")(
+            ts, batch, jax.random.PRNGKey(i), cfg
+        )
+    _, m1 = ppo_loss(ts.params, ts.apply_fn, batch, cfg)
+    assert float(m1["loss/total"]) < float(m0["loss/total"])
+    assert int(ts.step) == 4 * cfg.epochs * (512 // cfg.minibatch_size)
+
+
+def test_ppo_update_bf16_compute():
+    """bf16 trunk still optimizes (params stay f32)."""
+    import optax
+    from flax.training.train_state import TrainState
+
+    from tpu_plume.models import ActorCritic
+
+    cfg = PPOConfig(minibatch_size=128, epochs=2, learning_rate=1e-3,
+                    bf16_compute=True)
+    model = ActorCritic(dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6)))
+    assert params["params"]["Dense_0"]["kernel"].dtype == jnp.float32
+    tx = optax.adam(cfg.learning_rate)
+    ts = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    _, ts0, batch = _make_state_and_batch()
+    batch = batch.replace(
+        old_log_probs=jnp.zeros_like(batch.old_log_probs),
+        old_values=jnp.zeros_like(batch.old_values),
+    )
+    logits, values = model.apply(params, batch.obs)
+    assert logits.dtype == jnp.float32  # outputs cast back
+    ts2, metrics = jax.jit(ppo_update, static_argnames="cfg")(
+        ts, batch, jax.random.PRNGKey(1), cfg
+    )
+    assert np.isfinite(float(metrics["loss/total"]))
 
 
 def test_curriculum_window_and_shrink():

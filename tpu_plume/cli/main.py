@@ -70,8 +70,10 @@ def cmd_train(args):
         cfg,
         args.out,
         capture_netcdf=args.netcdf,
+        capture_conc_csv=args.conc_csv,
         use_tensorboard=args.tensorboard,
         max_iterations=args.iterations,
+        profile_steps=args.profile_steps,
     )
     print(
         json.dumps(
@@ -102,7 +104,11 @@ def cmd_train_gail(args):
 
 def cmd_train_lstm(args):
     from tpu_plume.data.datasets import load_raw_sequences, load_trajectory_segments
-    from tpu_plume.train.lstm_trainer import train_peak_stop_lstm, train_threshold_lstm
+    from tpu_plume.train.lstm_trainer import (
+        train_peak_stop_lstm,
+        train_sequence_lstm,
+        train_threshold_lstm,
+    )
 
     if args.variant == "threshold":
         seqs, src = load_raw_sequences(args.nc)
@@ -110,6 +116,15 @@ def cmd_train_lstm(args):
             seqs, src, args.out, epochs=args.epochs, verbose=True
         )
         print(json.dumps({"final_loss": res.losses[-1], "r2": res.extra["r2"]}))
+    elif args.variant == "v12":
+        if args.nc.endswith(".csv"):
+            from tpu_plume.data.conc_csv import load_conc_rows
+
+            seqs, src = load_conc_rows(args.nc)
+        else:
+            seqs, src = load_raw_sequences(args.nc)
+        res = train_sequence_lstm(seqs, src, args.out, epochs=args.epochs, verbose=True)
+        print(json.dumps({"final_loss": res.losses[-1], "test_r2": res.extra["test_r2"]}))
     else:
         segs = load_trajectory_segments(args.nc, window_size=20)
         res = train_peak_stop_lstm(segs, args.out, epochs=args.epochs, verbose=True)
@@ -189,6 +204,18 @@ def cmd_expert(args):
     print(json.dumps({"samples": int(states.shape[0]), "path": args.out}))
 
 
+def cmd_plot(args):
+    if args.what == "field":
+        from tpu_plume.viz import plot_gaussian_field
+
+        path = plot_gaussian_field(args.nc, args.episode, save_path=args.out)
+    else:
+        from tpu_plume.viz import plot_training_curves
+
+        path = plot_training_curves(args.csv, save_path=args.out)
+    print(json.dumps({"saved": path}))
+
+
 def cmd_inspect_nc(args):
     from tpu_plume.data.netcdf import describe_nc
 
@@ -214,7 +241,11 @@ def build_parser():
     sp = sub.add_parser("train", help="PPO training")
     common(sp, "runs/train")
     sp.add_argument("--netcdf", action="store_true", help="capture training_data.nc")
+    sp.add_argument("--conc-csv", action="store_true",
+                    help="capture ragged conc sequences (V1.2 data.csv)")
     sp.add_argument("--tensorboard", action="store_true")
+    sp.add_argument("--profile-steps", type=int, default=0,
+                    help="capture a jax.profiler trace over N train steps")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-gail", help="PPO + GAIL discriminator")
@@ -224,7 +255,7 @@ def build_parser():
     sp.set_defaults(fn=cmd_train_gail)
 
     sp = sub.add_parser("train-lstm", help="LSTM stop-predictor training")
-    sp.add_argument("--variant", choices=["threshold", "peakstop"], default="threshold")
+    sp.add_argument("--variant", choices=["threshold", "peakstop", "v12"], default="threshold")
     sp.add_argument("--nc", required=True)
     sp.add_argument("--out", default="runs/lstm")
     sp.add_argument("--epochs", type=int, default=150)
@@ -244,6 +275,14 @@ def build_parser():
     sp = sub.add_parser("inspect-nc", help="dump NetCDF dataset schema")
     sp.add_argument("path")
     sp.set_defaults(fn=cmd_inspect_nc)
+
+    sp = sub.add_parser("plot", help="trajectory-field / training-curve plots")
+    sp.add_argument("--what", choices=["field", "curves"], default="field")
+    sp.add_argument("--nc", help="training_data.nc (field plot)")
+    sp.add_argument("--csv", help="training_results.csv (curves plot)")
+    sp.add_argument("--episode", type=int, default=0)
+    sp.add_argument("--out", default="plot.png")
+    sp.set_defaults(fn=cmd_plot)
     return p
 
 

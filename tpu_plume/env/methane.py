@@ -36,6 +36,12 @@ class EnvState:
     field: FieldState          # per-episode plume
     radius: jnp.ndarray        # f32 curriculum success radius
     explore_bonus: jnp.ndarray # f32 curriculum exploration bonus
+    # Cached field sample at the agent's current cell.  The hash-procedural
+    # field is deterministic, so caching is exact and saves re-sampling the
+    # old cell every step (the reference re-reads its arrays three times per
+    # step: environment.py:88, 111, obs:76-77).
+    conc: jnp.ndarray          # f32 concentration at the current cell
+    tke: jnp.ndarray           # f32 TKE at the current cell
 
 
 @struct.dataclass
@@ -76,9 +82,9 @@ def _explore_cell(pos: jnp.ndarray, cfg: EnvConfig):
 
 
 def observe(state: EnvState, cfg: EnvConfig, bank=None) -> jnp.ndarray:
-    """Reference ``_get_obs`` (PPOV1.1/environment.py:64-80)."""
-    ix, iy = _cell(state.pos, cfg)
-    conc, tke = sample_conc_tke(state.field, ix, iy, cfg, bank)
+    """Reference ``_get_obs`` (PPOV1.1/environment.py:64-80); field values
+    come from the state's cached current-cell sample."""
+    conc, tke = state.conc, state.tke
     cx, cy = _explore_cell(state.pos, cfg)
     visits = state.visited[cx, cy].astype(jnp.float32)
     explore_level = jnp.minimum(visits / cfg.explore_visit_norm, 1.0)
@@ -109,13 +115,20 @@ def reset(
     if explore_bonus is None:
         explore_bonus = cfg.explore_bonus_init
     d = cfg.grid_divisions
+    field = new_field(key, cfg, bank)
+    pos = jnp.zeros(2, jnp.float32)
+    conc0, tke0 = sample_conc_tke(
+        field, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), cfg, bank
+    )
     state = EnvState(
-        pos=jnp.zeros(2, jnp.float32),
+        pos=pos,
         t=jnp.zeros((), jnp.int32),
         visited=jnp.zeros((d, d), jnp.int32),
-        field=new_field(key, cfg, bank),
+        field=field,
         radius=jnp.asarray(radius, jnp.float32),
         explore_bonus=jnp.asarray(explore_bonus, jnp.float32),
+        conc=conc0,
+        tke=tke0,
     )
     return state, observe(state, cfg, bank)
 
@@ -131,15 +144,30 @@ def _action_delta(action: jnp.ndarray, move_step: float) -> jnp.ndarray:
 
 def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig, bank=None):
     """Reference ``step`` (PPOV1.1/environment.py:82-168), order-faithful."""
+    return step_noise(
+        state, action, jax.random.normal(key, (2,), jnp.float32), cfg, bank
+    )
+
+
+def step_noise(
+    state: EnvState,
+    action: jnp.ndarray,
+    turb_noise: jnp.ndarray,
+    cfg: EnvConfig,
+    bank=None,
+):
+    """``step`` with the turbulence-displacement N(0,1) pair supplied by the
+    caller — lets rollouts pregenerate all randomness in one vectorized draw
+    outside the scan instead of splitting keys every step."""
     g = float(cfg.grid_size)
     move_step = cfg.move_step
     tke_norm = cfg.turbulence_intensity * 3.0
 
     t_new = state.t + 1
 
-    # Concentration before the move, at the old cell (lines 86-88).
-    ix0, iy0 = _cell(state.pos, cfg)
-    prev_conc, prev_tke = sample_conc_tke(state.field, ix0, iy0, cfg, bank)
+    # Concentration before the move, at the old cell (lines 86-88) — the
+    # cached sample from the previous step (deterministic field => exact).
+    prev_conc, prev_tke = state.conc, state.tke
     prev_conc_n = prev_conc / cfg.conc_peak
 
     # Deterministic displacement + move penalty (lines 91-95).
@@ -152,7 +180,7 @@ def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig, b
     turb_eff = (
         move_step
         * cfg.turb_displacement_coef
-        * jax.random.normal(key, (2,), jnp.float32)
+        * turb_noise
         * prev_tke
         / tke_norm
     )
@@ -196,7 +224,10 @@ def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig, b
         / (visits**cfg.explore_visit_pow + 1.0)
     )
 
-    new_state = state.replace(pos=new_pos.astype(jnp.float32), t=t_new, visited=visited)
+    new_state = state.replace(
+        pos=new_pos.astype(jnp.float32), t=t_new, visited=visited,
+        conc=cur_conc, tke=cur_tke,
+    )
     obs = observe(new_state, cfg, bank)
 
     tke_n = cur_tke / tke_norm
@@ -249,4 +280,38 @@ def auto_reset(
     next_state = jax.tree.map(
         lambda a, b: jnp.where(done, a, b), fresh, state
     )
+    return next_state, jnp.where(done, fresh_obs, obs)
+
+
+def auto_reset_from_draws(
+    state: EnvState,
+    obs: jnp.ndarray,
+    done: jnp.ndarray,
+    u_src: jnp.ndarray,
+    u_wind: jnp.ndarray,
+    bits: jnp.ndarray,
+    cfg: EnvConfig,
+    bank=None,
+):
+    """``auto_reset`` from pregenerated uniform draws (no in-scan threefry) —
+    the rollout hot path."""
+    from tpu_plume.fields.analytic import new_field_from_draws
+
+    field = new_field_from_draws(u_src, u_wind, bits, cfg, bank)
+    conc0, tke0 = sample_conc_tke(
+        field, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), cfg, bank
+    )
+    d = cfg.grid_divisions
+    fresh = EnvState(
+        pos=jnp.zeros(2, jnp.float32),
+        t=jnp.zeros((), jnp.int32),
+        visited=jnp.zeros((d, d), jnp.int32),
+        field=field,
+        radius=state.radius,
+        explore_bonus=state.explore_bonus,
+        conc=conc0,
+        tke=tke0,
+    )
+    next_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, state)
+    fresh_obs = observe(fresh, cfg, bank)
     return next_state, jnp.where(done, fresh_obs, obs)

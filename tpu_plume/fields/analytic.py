@@ -71,6 +71,36 @@ def new_field(key: jax.Array, cfg: EnvConfig, bank=None) -> FieldState:
     return FieldState(source=source, seed=seed, wind=wind, idx=idx)
 
 
+def new_field_from_draws(
+    u_src: jnp.ndarray,    # f32[2] uniform [0,1) draws for the source
+    u_wind: jnp.ndarray,   # f32[2] uniform [0,1) draws for (speed, direction)
+    bits: jnp.ndarray,     # uint32 scalar turbulence seed
+    cfg: EnvConfig,
+    bank=None,
+) -> FieldState:
+    """``new_field`` from pregenerated uniform draws — the scan-friendly path
+    used by rollouts so episode-boundary resets cost no in-scan threefry."""
+    lo = cfg.source_padding
+    hi = cfg.grid_size - cfg.source_padding
+    w_lo, w_hi = cfg.wind_speed_range
+    if cfg.plume_model == "anisotropic" and w_hi > 0:
+        speed = w_lo + (w_hi - w_lo) * u_wind[0]
+        theta = 2.0 * jnp.pi * u_wind[1]
+        wind = speed * jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+    else:
+        wind = jnp.zeros(2, jnp.float32)
+    if cfg.plume_model == "gridded":
+        if bank is None:
+            raise ValueError('plume_model="gridded" requires a FieldBank')
+        k = bank.conc.shape[0]
+        idx = jnp.minimum((u_src[0] * k).astype(jnp.int32), k - 1)
+        source = bank.source[idx]
+    else:
+        idx = jnp.zeros((), jnp.int32)
+        source = lo + (hi - lo) * u_src
+    return FieldState(source=source, seed=bits, wind=wind, idx=idx)
+
+
 def _turbulence(field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvConfig) -> jnp.ndarray:
     n = prng.cell_normal(field.seed, ix, iy, _SALT_NORMAL)
     if not cfg.turbulence_signed_normal:

@@ -115,6 +115,21 @@ class TrainLogger:
                 self._tb = None
         self._keys: list[str] | None = None
 
+    def log_histograms(self, step: int, tree, prefix: str = "params"):
+        """Per-leaf histograms (reference: per-parameter/gradient histograms
+        each episode, PPOV1.1/train_ppo1.0.py:159-162). TensorBoard only."""
+        if self._tb is None:
+            return
+        import jax
+
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(
+                getattr(k, "key", getattr(k, "name", str(k))) for k in path
+            )
+            import numpy as np
+
+            self._tb.add_histogram(f"{prefix}/{name}", np.asarray(leaf), step)
+
     def log(self, step: int, scalars: dict):
         if self._keys is None:
             self._keys = sorted(scalars)

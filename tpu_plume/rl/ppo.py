@@ -114,8 +114,24 @@ def ppo_update(
         grads, metrics = grad_fn(ts.params, ts.apply_fn, mb, cfg)
         return ts.apply_gradients(grads=grads), metrics
 
+    affine = cfg.shuffle_mode == "affine" and (batch_size & (batch_size - 1)) == 0
+
     def epoch_step(ts: TrainState, epoch_key: jax.Array):
-        perm = jax.random.permutation(epoch_key, batch_size)
+        if affine:
+            # O(1) random affine bijection i -> (a*i + b) mod B (B power of
+            # two, a odd => bijective).  Avoids the O(B log B) sort that
+            # jax.random.permutation costs on TPU every epoch.
+            k_a, k_b = jax.random.split(epoch_key)
+            a = (
+                jax.random.randint(k_a, (), 0, batch_size // 2, dtype=jnp.uint32)
+                * 2
+                + 1
+            )
+            b = jax.random.randint(k_b, (), 0, batch_size, dtype=jnp.uint32)
+            idx = jax.lax.broadcasted_iota(jnp.uint32, (batch_size, 1), 0)[:, 0]
+            perm = ((a * idx + b) & jnp.uint32(batch_size - 1)).astype(jnp.int32)
+        else:
+            perm = jax.random.permutation(epoch_key, batch_size)
         shuffled = jax.tree.map(
             lambda x: x[perm].reshape(
                 num_minibatches, cfg.minibatch_size, *x.shape[1:]

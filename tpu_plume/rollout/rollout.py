@@ -20,7 +20,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from tpu_plume.core.config import EnvConfig
-from tpu_plume.env.methane import EnvState, auto_reset, reset, step
+from tpu_plume.env.methane import (
+    EnvState,
+    auto_reset_from_draws,
+    reset,
+    step_noise,
+)
 
 
 @struct.dataclass
@@ -126,20 +131,37 @@ def rollout_chunk(
     """
     num_envs = carry.obs.shape[0]
 
-    def body(c: RolloutCarry, _):
-        key, k_act, k_step, k_reset = jax.random.split(c.key, 4)
+    # Pregenerate the chunk's randomness in three vectorized draws (one
+    # threefry pass each) instead of splitting keys inside every scan step:
+    # turbulence-displacement normals, Gumbel noise for categorical action
+    # sampling (argmax(logits + gumbel) == Categorical sample), and reset
+    # keys for episode-boundary field redraws.
+    key, k_turb, k_gumbel, k_src, k_wind, k_bits = jax.random.split(carry.key, 6)
+    turb_noise = jax.random.normal(k_turb, (length, num_envs, 2), jnp.float32)
+    if greedy:
+        gumbel = jnp.zeros((length, num_envs, 1), jnp.float32)
+    else:
+        gumbel = jax.random.gumbel(
+            k_gumbel, (length, num_envs, cfg.num_actions), jnp.float32
+        )
+    reset_u_src = jax.random.uniform(k_src, (length, num_envs, 2), jnp.float32)
+    reset_u_wind = jax.random.uniform(k_wind, (length, num_envs, 2), jnp.float32)
+    reset_bits = jax.random.bits(k_bits, (length, num_envs), jnp.uint32)
+    carry = carry.replace(key=key)
+
+    def body(c: RolloutCarry, xs):
+        noise_t, gumbel_t, u_src_t, u_wind_t, bits_t = xs
         logits, value = apply_fn(params, c.obs)
         if greedy:
             action = jnp.argmax(logits, axis=-1)
         else:
-            action = jax.random.categorical(k_act, logits, axis=-1)
+            action = jnp.argmax(logits + gumbel_t, axis=-1)
         log_prob = jnp.take_along_axis(
             jax.nn.log_softmax(logits), action[:, None], axis=-1
         ).squeeze(-1)
 
-        step_keys = jax.random.split(k_step, num_envs)
-        env_state, trans = jax.vmap(lambda s, a, k: step(s, a, k, cfg, bank))(
-            c.env_state, action, step_keys
+        env_state, trans = jax.vmap(lambda s, a, n: step_noise(s, a, n, cfg, bank))(
+            c.env_state, action, noise_t
         )
         info = trans.info
 
@@ -189,13 +211,19 @@ def rollout_chunk(
         # Clear accumulators for envs that finished, then auto-reset them.
         done_f = trans.done.astype(jnp.float32)
         acc = jax.tree.map(lambda x: x * (1.0 - done_f), acc)
-        reset_keys = jax.random.split(k_reset, num_envs)
         env_state, next_obs = jax.vmap(
-            lambda s, o, d, k: auto_reset(s, o, d, k, cfg, bank)
-        )(env_state, trans.obs, trans.done, reset_keys)
+            lambda s, o, d, us, uw, b: auto_reset_from_draws(
+                s, o, d, us, uw, b, cfg, bank
+            )
+        )(env_state, trans.obs, trans.done, u_src_t, u_wind_t, bits_t)
 
-        return RolloutCarry(env_state, next_obs, acc, key), out
+        return RolloutCarry(env_state, next_obs, acc, c.key), out
 
-    carry, traj = jax.lax.scan(body, carry, None, length=length)
+    carry, traj = jax.lax.scan(
+        body,
+        carry,
+        (turb_noise, gumbel, reset_u_src, reset_u_wind, reset_bits),
+        length=length,
+    )
     _, bootstrap_value = apply_fn(params, carry.obs)
     return carry, traj, bootstrap_value

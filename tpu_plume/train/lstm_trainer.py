@@ -191,6 +191,93 @@ def train_threshold_lstm(
                            extra={"r2": r2, "scaler": scaler})
 
 
+def train_sequence_lstm(
+    sequences,
+    source_concs,
+    out_dir: str,
+    *,
+    epochs: int = 50,
+    batch_size: int = 32,
+    lr: float = 1e-3,
+    test_fraction: float = 0.2,
+    seed: int = 42,
+    verbose: bool = False,
+) -> LSTMTrainResult:
+    """V1.2 prototype pipeline (PPOV1.2/new.LSTM.py:18-116): predict the
+    source concentration from the FULL (variable-length) episode
+    concentration sequence; inputs min-max scaled, train/test split, MSE
+    loss; reports test-set R^2 (the reference README claims R^2 = 0.82,
+    README.md:37)."""
+    from tpu_plume.data.scaler import MinMaxScaler
+    from tpu_plume.models import LSTMModel
+
+    os.makedirs(out_dir, exist_ok=True)
+    lengths = np.array([len(s) for s in sequences], np.int32)
+    max_len = int(lengths.max())
+    scaler = MinMaxScaler().fit(np.concatenate([np.asarray(s) for s in sequences]))
+    padded = np.zeros((len(sequences), max_len), np.float32)
+    for i, s in enumerate(sequences):
+        padded[i, : len(s)] = scaler.transform(np.asarray(s))
+    targets = np.asarray(source_concs, np.float32)
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(sequences))
+    n_test = max(1, int(len(sequences) * test_fraction))
+    test_idx, train_idx = order[:n_test], order[n_test:]
+
+    model = LSTMModel()
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, max_len)), jnp.ones(1, jnp.int32)
+    )
+    optimizer = _make_optimizer(weight_decay=0.0, clip=1.0)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params, batch, _key):
+        x, ln, y = batch
+        pred = model.apply(params, x, ln)
+        return ((pred - y) ** 2).mean(), {}
+
+    @jax.jit
+    def run_epoch(params, opt_state, lr, xs, lns, ys):
+        def step(carry, xs_):
+            params, opt_state = carry
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, xs_, None
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params, lr)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), (xs, lns, ys))
+        return params, opt_state, losses.mean()
+
+    bs = min(batch_size, len(train_idx))
+    losses = []
+    for epoch in range(epochs):
+        idx = _shuffle_batches(rng, len(train_idx), bs)
+        sel = train_idx[idx]
+        params, opt_state, loss = run_epoch(
+            params, opt_state, lr,
+            jnp.asarray(padded[sel]), jnp.asarray(lengths[sel]), jnp.asarray(targets[sel]),
+        )
+        losses.append(float(loss))
+        if verbose and (epoch + 1) % 10 == 0:
+            print(f"epoch {epoch + 1}, loss {losses[-1]:.4f}")
+
+    pred = np.asarray(
+        model.apply(params, jnp.asarray(padded[test_idx]), jnp.asarray(lengths[test_idx]))
+    )
+    y = targets[test_idx]
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - float(((pred - y) ** 2).sum()) / ss_tot if ss_tot > 0 else float("nan")
+
+    from tpu_plume.data.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.join(out_dir, "lstm_v12"), {"params": params})
+    scaler.save(os.path.join(out_dir, "scaler_params_v12.npy"))
+    return LSTMTrainResult(params=params, losses=losses, out_dir=out_dir,
+                           extra={"test_r2": r2, "test_mse": float(((pred - y) ** 2).mean())})
+
+
 def train_peak_stop_lstm(
     segments,
     out_dir: str,

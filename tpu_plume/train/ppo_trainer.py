@@ -60,7 +60,10 @@ class TrainResult:
 
 
 def make_train_state(cfg: TrainConfig, key: jax.Array) -> TrainState:
-    model = ActorCritic(num_actions=cfg.env.num_actions)
+    model = ActorCritic(
+        num_actions=cfg.env.num_actions,
+        dtype=jnp.bfloat16 if cfg.ppo.bf16_compute else jnp.float32,
+    )
     params = model.init(key, jnp.zeros((1, cfg.env.obs_dim)))
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
@@ -171,14 +174,36 @@ class EpisodeAssembler:
         self.y = np.full((num_envs, max_steps), np.nan, np.float32)
         self.c = np.full((num_envs, max_steps), np.nan, np.float32)
         self.n = num_envs
+        from tpu_plume.native import get_drain
+
+        self._native = get_drain()
 
     def drain(self, traj_np: dict):
         """Yields dicts of completed episodes in scan order."""
-        pos = traj_np["pos"]          # [T, N, 2]
-        conc = traj_np["conc"]        # [T, N]
+        pos = np.ascontiguousarray(traj_np["pos"], np.float32)   # [T, N, 2]
+        conc = np.ascontiguousarray(traj_np["conc"], np.float32)  # [T, N]
         done = traj_np["done"]        # [T, N]
-        steps = traj_np["steps"]      # [T, N] episode-step index (1-based)
+        steps = np.ascontiguousarray(traj_np["steps"], np.int32)  # 1-based
         rec = traj_np["episode"]
+
+        if self._native is not None:
+            # One C++ pass; completed episodes are copied out at their
+            # completion step (their buffer rows are reused by successor
+            # episodes later in the chunk).
+            for env, s, t, bx, by, bc in self._native(
+                self.x, self.y, self.c, pos, conc,
+                np.ascontiguousarray(done, np.uint8), steps,
+            ):
+                yield {
+                    "env": int(env),
+                    "steps": int(s),
+                    "x": np.frombuffer(bx, np.float32),
+                    "y": np.frombuffer(by, np.float32),
+                    "conc": np.frombuffer(bc, np.float32),
+                    **{k: np.asarray(v[t, env]) for k, v in rec.items()},
+                }
+            return
+
         envs = np.arange(self.n)
         for t in range(pos.shape[0]):
             idx = np.minimum(steps[t] - 1, self.x.shape[1] - 1)
@@ -187,12 +212,13 @@ class EpisodeAssembler:
             self.c[envs, idx] = conc[t]
             for env in np.nonzero(done[t])[0]:
                 s = int(steps[t, env])
+                s_clip = min(s, self.x.shape[1])
                 yield {
                     "env": int(env),
                     "steps": s,
-                    "x": self.x[env, :s].copy(),
-                    "y": self.y[env, :s].copy(),
-                    "conc": self.c[env, :s].copy(),
+                    "x": self.x[env, :s_clip].copy(),
+                    "y": self.y[env, :s_clip].copy(),
+                    "conc": self.c[env, :s_clip].copy(),
                     **{k: np.asarray(v[t, env]) for k, v in rec.items()},
                 }
 
@@ -207,6 +233,8 @@ def train_ppo(
     max_iterations: int | None = None,
     log_every: int = 10,
     verbose: bool = True,
+    capture_conc_csv: bool = False,
+    profile_steps: int = 0,
 ) -> TrainResult:
     """Train until ``cfg.total_episodes`` episodes complete (or
     ``max_iterations`` train steps)."""
@@ -241,6 +269,12 @@ def train_ppo(
         )
         assembler = EpisodeAssembler(cfg.rollout.num_envs, cfg.env.max_steps)
 
+    conc_csv_path = os.path.join(out_dir, "data.csv") if capture_conc_csv else None
+    if conc_csv_path:
+        open(conc_csv_path, "w").close()
+        if assembler is None:
+            assembler = EpisodeAssembler(cfg.rollout.num_envs, cfg.env.max_steps)
+
     watch = Stopwatch()
     episodes = successes = env_steps = nc_written = 0
     iteration = 0
@@ -249,15 +283,21 @@ def train_ppo(
     while episodes < cfg.total_episodes:
         if max_iterations is not None and iteration >= max_iterations:
             break
+        if profile_steps and iteration == 2:
+            jax.profiler.start_trace(os.path.join(out_dir, "profile"))
         watch.start("step")
         loop, stats, traj = train_step(loop)
         jax.block_until_ready(stats["loss/total"])
         watch.stop("step")
         iteration += 1
+        if profile_steps and iteration == 2 + profile_steps:
+            jax.profiler.stop_trace()
         env_steps += cfg.rollout.num_envs * cfg.rollout.unroll_length
 
         # Host drain.
-        need_records = csv_logger is not None or nc_writer is not None
+        need_records = (
+            csv_logger is not None or nc_writer is not None or conc_csv_path
+        )
         if need_records:
             ep = traj.episode
             rec_np = {
@@ -275,7 +315,7 @@ def train_ppo(
             }
             if csv_logger is not None:
                 csv_logger.log_records(rec_np)
-            if nc_writer is not None:
+            if nc_writer is not None or conc_csv_path:
                 traj_np = {
                     "pos": np.asarray(traj.pos),
                     "conc": np.asarray(traj.conc),
@@ -290,8 +330,19 @@ def train_ppo(
                     },
                 }
                 for done_ep in assembler.drain(traj_np):
-                    if nc_written >= cfg.total_episodes:
-                        break
+                    if conc_csv_path and bool(done_ep["success"]):
+                        # V1.2 ragged capture: conc sequence + source conc
+                        # (PPOV1.2/ppo注释版.py:115-124).
+                        from tpu_plume.data.conc_csv import save_conc_rows
+
+                        save_conc_rows(
+                            conc_csv_path,
+                            [done_ep["conc"]],
+                            [float(done_ep["final_conc"])],
+                            append=True,
+                        )
+                    if nc_writer is None or nc_written >= cfg.total_episodes:
+                        continue
                     if tracker.update(float(done_ep["radius"]), bool(done_ep["success"])):
                         nc_writer.write_episode_data(
                             episode_idx=nc_written,
@@ -322,6 +373,8 @@ def train_ppo(
                 }
             )
             train_logger.log(iteration, scalars)
+            if use_tensorboard:
+                train_logger.log_histograms(iteration, loop.train_state.params)
             if verbose:
                 print(
                     f"iter {iteration:5d} | eps {episodes:6d} | "
