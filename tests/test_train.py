@@ -82,3 +82,10 @@ def test_resume_checkpoint_restores(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(leaf), np.asarray(res.params["params"]["Dense_0"]["kernel"])
     )
+
+
+def test_snapshot_every(tmp_path):
+    out = str(tmp_path / "run")
+    train_ppo(_tiny_cfg(), out, verbose=False, max_iterations=3,
+              write_csv=False, snapshot_every=2)
+    assert os.path.isdir(os.path.join(out, "checkpoint_iter000002"))

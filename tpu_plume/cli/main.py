@@ -53,6 +53,12 @@ def _apply_overrides(cfg, args):
     ppo = cfg.ppo
     if args.minibatch:
         ppo = dataclasses.replace(ppo, minibatch_size=args.minibatch)
+    if getattr(args, "lr", None):
+        ppo = dataclasses.replace(ppo, learning_rate=args.lr)
+    if getattr(args, "entropy", None) is not None:
+        ppo = dataclasses.replace(ppo, entropy_beta=args.entropy)
+    if getattr(args, "bf16", False):
+        ppo = dataclasses.replace(ppo, bf16_compute=True)
     cfg = cfg.replace(rollout=rollout, ppo=ppo, env=env)
     if args.episodes:
         cfg = cfg.replace(total_episodes=args.episodes)
@@ -74,6 +80,7 @@ def cmd_train(args):
         use_tensorboard=args.tensorboard,
         max_iterations=args.iterations,
         profile_steps=args.profile_steps,
+        snapshot_every=args.snapshot_every,
     )
     print(
         json.dumps(
@@ -146,11 +153,12 @@ def cmd_eval(args):
         stop_gate = _lstm_gate(args, cfg)
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
-        num_episodes=args.episodes, stop_gate=stop_gate,
+        num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
     )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
         m.save_npz(os.path.join(args.out, "validation_metrics.npz"))
+        m.save_csv(os.path.join(args.out, "evaluation_results.csv"))
     print(json.dumps(summarize(m)))
 
 
@@ -235,6 +243,9 @@ def build_parser():
         sp.add_argument("--minibatch", type=int)
         sp.add_argument("--iterations", type=int)
         sp.add_argument("--seed", type=int)
+        sp.add_argument("--lr", type=float)
+        sp.add_argument("--entropy", type=float)
+        sp.add_argument("--bf16", action="store_true")
         sp.add_argument("--ckpt")
         sp.add_argument("--pth")
 
@@ -246,6 +257,8 @@ def build_parser():
     sp.add_argument("--tensorboard", action="store_true")
     sp.add_argument("--profile-steps", type=int, default=0,
                     help="capture a jax.profiler trace over N train steps")
+    sp.add_argument("--snapshot-every", type=int,
+                    help="save a params snapshot every N iterations")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-gail", help="PPO + GAIL discriminator")
@@ -266,6 +279,8 @@ def build_parser():
     sp.add_argument("--stop", choices=["none", "heuristic", "threshold", "peakstop"],
                     default="none")
     sp.add_argument("--lstm-ckpt")
+    sp.add_argument("--sample", action="store_true",
+                    help="sample actions instead of greedy argmax")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("expert", help="generate expert demonstrations")

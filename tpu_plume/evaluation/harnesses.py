@@ -51,6 +51,25 @@ class EvalMetrics:
     success: np.ndarray
     stopped_early: np.ndarray
     peak_pred: np.ndarray | None = None
+    final_conc: np.ndarray | None = None
+    trajectories: np.ndarray | None = None  # [K, T, 2], NaN-padded
+
+    def save_csv(self, path: str):
+        """The V1.1 evaluator's evaluation_results.csv schema
+        (PPOV1.1/evaluate_model.py:77-87)."""
+        import csv
+
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["episode", "steps", "deviation", "success", "final_conc"])
+            for i in range(len(self.deviations)):
+                w.writerow([
+                    i + 1,
+                    int(self.steps[i]),
+                    float(self.deviations[i]),
+                    bool(self.success[i]),
+                    float(self.final_conc[i]) if self.final_conc is not None else "",
+                ])
 
     def save_npz(self, path: str):
         data = dict(
@@ -100,9 +119,15 @@ def evaluate_policy(
     stop_gate: Optional[StopGate] = None,
     max_steps: Optional[int] = None,
     greedy: bool = True,
+    track_trajectories: int = 0,
 ) -> EvalMetrics:
     """Run ``num_episodes`` parallel greedy episodes; returns per-episode
-    metrics in the reference npz layout."""
+    metrics in the reference npz layout.
+
+    ``track_trajectories=K`` additionally records the position history of the
+    first K episodes (for the V2.1-style per-episode trajectory PNGs,
+    PPOV2.1/evaluate_with_lstm.py:96-107) in ``metrics.trajectories``
+    [K, T, 2] with NaN past episode end."""
     n = num_episodes or eval_cfg.episodes
     length = max_steps or min(env_cfg.max_steps, eval_cfg.max_eval_steps)
 
@@ -162,12 +187,20 @@ def evaluate_policy(
             steps = c.steps + active.astype(jnp.int32)
             stopped_early = c.stopped_early | (active & stop_fired)
             finished = c.finished | trans.done | stop_fired
+            if track_trajectories:
+                tracked = jnp.where(
+                    active[:track_trajectories, None],
+                    env_state.pos[:track_trajectories],
+                    jnp.nan,
+                )
+            else:
+                tracked = None
             return (
                 _EvalCarry(env_state, obs, stop_state, finished, steps, stopped_early, key),
-                None,
+                tracked,
             )
 
-        carry, _ = jax.lax.scan(body, carry, None, length=length)
+        carry, tracked = jax.lax.scan(body, carry, None, length=length)
         deviation = jnp.linalg.norm(
             carry.env_state.pos - carry.env_state.field.source, axis=-1
         )
@@ -176,9 +209,12 @@ def evaluate_policy(
             if isinstance(carry.stop_state, ctrl.PeakStopState)
             else None
         )
-        return deviation, carry.steps, carry.stopped_early, peak_pred
+        return (deviation, carry.steps, carry.stopped_early, peak_pred,
+                carry.env_state.conc, tracked)
 
-    deviation, steps, stopped_early, peak_pred = jax.jit(run)(reset_keys, k_scan)
+    deviation, steps, stopped_early, peak_pred, final_conc, tracked = jax.jit(run)(
+        reset_keys, k_scan
+    )
     deviation = np.asarray(deviation)
     return EvalMetrics(
         deviations=deviation,
@@ -186,6 +222,8 @@ def evaluate_policy(
         success=deviation <= eval_cfg.success_distance,
         stopped_early=np.asarray(stopped_early),
         peak_pred=None if peak_pred is None else np.asarray(peak_pred),
+        final_conc=np.asarray(final_conc),
+        trajectories=None if tracked is None else np.swapaxes(np.asarray(tracked), 0, 1),
     )
 
 

@@ -235,6 +235,7 @@ def train_ppo(
     verbose: bool = True,
     capture_conc_csv: bool = False,
     profile_steps: int = 0,
+    snapshot_every: int | None = None,
 ) -> TrainResult:
     """Train until ``cfg.total_episodes`` episodes complete (or
     ``max_iterations`` train steps)."""
@@ -360,6 +361,18 @@ def train_ppo(
 
         episodes += int(stats["rollout/episodes"])
         successes += int(stats["rollout/successes"])
+
+        # Periodic snapshots — the TPU-era equivalent of V1.1's "save every
+        # successful episode's state_dict" list (PPOV1.1/train_ppo1.0.py:
+        # 151-152, 173): at batched scale per-episode snapshots are
+        # meaningless, so snapshots are taken per N iterations instead.
+        if snapshot_every and iteration % snapshot_every == 0:
+            from tpu_plume.data.checkpoint import save_checkpoint as _save
+
+            _save(
+                os.path.join(out_dir, f"checkpoint_iter{iteration:06d}"),
+                {"params": jax.device_get(loop.train_state.params)},
+            )
 
         if iteration % log_every == 0 or episodes >= cfg.total_episodes:
             dt = time.perf_counter() - t_start
