@@ -170,3 +170,40 @@ def test_field_statistics():
     # turbulence mean: TI * (E|N| + 0.2*0.5) ~ 3*(0.798+0.1) = 2.69 (wave term
     # averages ~0 over the grid)
     assert abs(tke.mean() - cfg.turbulence_intensity * (np.sqrt(2 / np.pi) + 0.1)) < 0.1
+
+
+def test_v1_0_reward_variant():
+    """V1.0 reward form (PPOV1.0/ppo0.0.py:158-187): flat move penalty,
+    bonus/(visits+1) exploration, flat boundary penalty, uncapped terminal."""
+    cfg = get_preset("ppo_v1_0").env
+    import dataclasses
+    cfg = dataclasses.replace(cfg, max_steps=50)
+    key = jax.random.PRNGKey(0)
+    state, obs = methane.reset(key, cfg)
+    conc_field, tke_field = map(np.asarray, materialize_fields(state.field, cfg))
+    g = cfg.grid_size
+
+    for i in range(20):
+        key, sub = jax.random.split(key)
+        turb_randn = np.asarray(jax.random.normal(sub, (2,), jnp.float32))
+        pos_before = np.asarray(state.pos)
+        visited_before = np.asarray(state.visited)
+        state, tr = methane.step(state, jnp.int32(i % 5), sub, cfg)
+        pos = np.asarray(state.pos)
+        # oracle
+        cx, cy = int(min(max(pos[0], 0), g - 1)), int(min(max(pos[1], 0), g - 1))
+        conc_n = conc_field[cx, cy] / cfg.conc_peak
+        tke_n = tke_field[cx, cy] / (cfg.turbulence_intensity * 3)
+        gx, gy = min(int(pos[0] // 50), 9), min(int(pos[1] // 50), 9)
+        visits = visited_before[gx, gy] + 1
+        explore = cfg.explore_bonus_init / (visits + 1)
+        expect = 3.0 * conc_n - 0.3 * tke_n - 0.05 + explore
+        border = min(pos[0], g - pos[0], pos[1], g - pos[1])
+        if border < 0.1 * g:
+            expect -= 0.5
+        dist = np.linalg.norm(pos - np.asarray(state.field.source))
+        if dist <= cfg.initial_radius:
+            expect += 100.0 * 1.0  # R0/R = 1 at initial radius
+        np.testing.assert_allclose(float(tr.reward), expect, rtol=1e-4, atol=1e-4)
+        if bool(tr.done):
+            break

@@ -183,3 +183,20 @@ def test_curriculum_mid_band_holds():
     st = curriculum_init(cfg, 0.6)
     st = curriculum_update(st, jnp.int32(48), jnp.int32(120), cfg)  # rate 0.4
     assert float(st.radius) == 50.0
+
+
+def test_curriculum_simple_variant():
+    """V1.0 controller (ppo0.0.py:261-287): per-episode explore decay,
+    shrink-only radius."""
+    cfg = CurriculumConfig(variant="simple")
+    st = curriculum_init(cfg, 0.6)
+    # explore bonus decays with every episode, even before the window fills
+    st = curriculum_update(st, jnp.int32(5), jnp.int32(10), cfg)
+    np.testing.assert_allclose(float(st.explore_bonus), 0.6 * 0.999**10, rtol=1e-5)
+    assert float(st.radius) == 50.0
+    # window fills with high success -> single decay step, no anti-osc clamp
+    st = curriculum_update(st, jnp.int32(110), jnp.int32(110), cfg)
+    np.testing.assert_allclose(float(st.radius), 45.0, rtol=1e-6)  # 50*0.9
+    # low success rate never expands
+    st = curriculum_update(st, jnp.int32(0), jnp.int32(120), cfg)
+    np.testing.assert_allclose(float(st.radius), 45.0, rtol=1e-6)

@@ -67,7 +67,12 @@ class EnvConfig:
     explore_visit_norm: float = 5.0    # explore_level = min(visits/5, 1)
     explore_visit_pow: float = 0.75    # explore_reward ~ 1/(visits^0.75 + 1)
 
-    # Reward shaping (reference config.py:34-37 and step():139-151)
+    # Reward shaping (reference config.py:34-37 and step():139-151).
+    # reward_variant "v1_1" is the V1.1+ shaped form; "v1_0" is the simpler
+    # PPOV1.0 form (ppo0.0.py:158-187): flat move penalty, explore
+    # bonus/(visits+1), flat -0.5 boundary penalty inside a 10% margin,
+    # uncapped terminal bonus 100*(R0/R).
+    reward_variant: str = "v1_1"
     conc_reward_coef: float = 2.0
     move_penalty_coef: float = 0.15
     tke_penalty_factor: float = 0.4
@@ -76,6 +81,10 @@ class EnvConfig:
     boundary_gradient_gate: float = -0.01
     terminal_bonus_cap: float = 500.0
     terminal_bonus_coef: float = 150.0
+    # v1_0-only knobs (PPOV1.0/ppo0.0.py:166-183)
+    v10_flat_move_penalty: float = 0.05
+    v10_boundary_margin_frac: float = 0.1
+    v10_boundary_penalty: float = 0.5
 
     # Curriculum success radius (reference: INITIAL_RADIUS)
     initial_radius: float = 50.0
@@ -132,8 +141,13 @@ class PPOConfig:
 class CurriculumConfig:
     """Success-rate-windowed curriculum on the goal radius plus
     exploration-bonus decay (reference: PPOTrainer.update,
-    PPOV1.1/model.py:121-164; constants config.py:20-31)."""
+    PPOV1.1/model.py:121-164; constants config.py:20-31).
 
+    ``variant="simple"`` is the PPOV1.0 controller (ppo0.0.py:261-287):
+    per-episode explore decay, shrink-only radius (no expand / no
+    anti-oscillation)."""
+
+    variant: str = "adaptive"
     initial_radius: float = 50.0
     min_radius: float = 5.0
     radius_decay: float = 0.9
@@ -211,7 +225,11 @@ def _v1_0() -> TrainConfig:
             turbulence_signed_normal=True,
             tke_abs_times_two=True,
             elastic_walls=True,
+            reward_variant="v1_0",
+            conc_reward_coef=3.0,
+            tke_penalty_factor=0.3,
         ),
+        curriculum=CurriculumConfig(variant="simple"),
         rollout=RolloutConfig(num_envs=256, unroll_length=128),
     )
 

@@ -170,11 +170,15 @@ def step_noise(
     prev_conc, prev_tke = state.conc, state.tke
     prev_conc_n = prev_conc / cfg.conc_peak
 
-    # Deterministic displacement + move penalty (lines 91-95).
+    # Deterministic displacement + move penalty (V1.1 lines 91-95; V1.0 uses
+    # a flat -0.05 per-step penalty, ppo0.0.py:169).
     delta = _action_delta(action, move_step)
     delta_norm = jnp.linalg.norm(delta)
-    move_magnitude = delta_norm / move_step
-    move_penalty = -cfg.move_penalty_coef * (1.0 - move_magnitude)
+    if cfg.reward_variant == "v1_0":
+        move_penalty = jnp.float32(-cfg.v10_flat_move_penalty)
+    else:
+        move_magnitude = delta_norm / move_step
+        move_penalty = -cfg.move_penalty_coef * (1.0 - move_magnitude)
 
     # Stochastic turbulence displacement from TKE at the old cell (lines 98-101).
     turb_eff = (
@@ -195,22 +199,31 @@ def step_noise(
     else:
         new_pos = jnp.clip(raw, 0.0, g - cfg.clip_edge_eps)
 
-    # Boundary penalty: fires near a wall while moving down-gradient
-    # (lines 108-124).
+    # Boundary penalty: V1.1+ fires near a wall while moving down-gradient
+    # (lines 108-124); V1.0 is a flat -0.5 inside a 10% margin
+    # (ppo0.0.py:176-182).
     ix1, iy1 = _cell(new_pos, cfg)
     cur_conc, cur_tke = sample_conc_tke(state.field, ix1, iy1, cfg, bank)
     cur_conc_n = cur_conc / cfg.conc_peak
-    conc_gradient = (cur_conc_n - prev_conc_n) / (delta_norm + 1e-6)
-    boundary_dist = jnp.minimum(
+    border_units = jnp.minimum(
         jnp.minimum(new_pos[0], g - new_pos[0]),
         jnp.minimum(new_pos[1], g - new_pos[1]),
-    ) / g
-    boundary_penalty = jnp.where(
-        (boundary_dist < cfg.boundary_decay_start)
-        & (conc_gradient < cfg.boundary_gradient_gate),
-        -cfg.boundary_penalty * (cfg.boundary_decay_start - boundary_dist) ** 2,
-        0.0,
     )
+    if cfg.reward_variant == "v1_0":
+        boundary_penalty = jnp.where(
+            border_units < cfg.v10_boundary_margin_frac * g,
+            -cfg.v10_boundary_penalty,
+            0.0,
+        )
+    else:
+        conc_gradient = (cur_conc_n - prev_conc_n) / (delta_norm + 1e-6)
+        boundary_dist = border_units / g
+        boundary_penalty = jnp.where(
+            (boundary_dist < cfg.boundary_decay_start)
+            & (conc_gradient < cfg.boundary_gradient_gate),
+            -cfg.boundary_penalty * (cfg.boundary_decay_start - boundary_dist) ** 2,
+            0.0,
+        )
 
     # Exploration bookkeeping at the new cell (lines 126-133): the visit is
     # counted first, then both the explore_level and the 1/(visits^0.75 + 1)
@@ -219,10 +232,14 @@ def step_noise(
     visited = state.visited.at[cx, cy].add(1)
     visits = visited[cx, cy].astype(jnp.float32)
     explore_level = jnp.minimum(visits / cfg.explore_visit_norm, 1.0)
-    explore_reward = (
-        state.explore_bonus * (1.0 - explore_level)
-        / (visits**cfg.explore_visit_pow + 1.0)
-    )
+    if cfg.reward_variant == "v1_0":
+        # V1.0: bonus / (visits + 1) (ppo0.0.py:164)
+        explore_reward = state.explore_bonus / (visits + 1.0)
+    else:
+        explore_reward = (
+            state.explore_bonus * (1.0 - explore_level)
+            / (visits**cfg.explore_visit_pow + 1.0)
+        )
 
     new_state = state.replace(
         pos=new_pos.astype(jnp.float32), t=t_new, visited=visited,
@@ -237,13 +254,17 @@ def step_noise(
         conc_reward + explore_reward + move_penalty + tke_penalty + boundary_penalty
     )
 
-    # Terminal bonus within the curriculum radius (lines 147-151).
+    # Terminal bonus within the curriculum radius (V1.1 lines 147-151:
+    # min(500, 150*R0/R); V1.0: uncapped 100*R0/R, ppo0.0.py:186-187).
     distance = jnp.linalg.norm(new_pos - state.field.source)
     reached = distance <= state.radius
-    terminal_bonus = jnp.minimum(
-        cfg.terminal_bonus_cap,
-        cfg.terminal_bonus_coef * (cfg.initial_radius / state.radius),
-    )
+    if cfg.reward_variant == "v1_0":
+        terminal_bonus = 100.0 * (cfg.initial_radius / state.radius)
+    else:
+        terminal_bonus = jnp.minimum(
+            cfg.terminal_bonus_cap,
+            cfg.terminal_bonus_coef * (cfg.initial_radius / state.radius),
+        )
     total_reward = total_reward + jnp.where(reached, terminal_bonus, 0.0)
 
     done = (t_new >= cfg.max_steps) | reached

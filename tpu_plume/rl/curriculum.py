@@ -49,6 +49,8 @@ def curriculum_update(
     new_episodes: jnp.ndarray,    # i32: episodes that ended this iter
     cfg: CurriculumConfig,
 ) -> CurriculumState:
+    if cfg.variant == "simple":
+        return _curriculum_update_simple(state, new_successes, new_episodes, cfg)
     succ = state.success_count + new_successes.astype(jnp.int32)
     count = state.episode_count + new_episodes.astype(jnp.int32)
     fire = count >= cfg.window_size
@@ -87,4 +89,38 @@ def curriculum_update(
         success_count=jnp.where(fire, 0, succ),
         episode_count=jnp.where(fire, 0, count),
         num_updates=state.num_updates + fire.astype(jnp.int32),
+    )
+
+
+def _curriculum_update_simple(
+    state: CurriculumState,
+    new_successes: jnp.ndarray,
+    new_episodes: jnp.ndarray,
+    cfg: CurriculumConfig,
+) -> CurriculumState:
+    """PPOV1.0 controller (ppo0.0.py:261-287): explore bonus decays every
+    episode (batched: decay^new_episodes), radius only shrinks by
+    RADIUS_DECAY when the window's success rate exceeds the threshold."""
+    succ = state.success_count + new_successes.astype(jnp.int32)
+    count = state.episode_count + new_episodes.astype(jnp.int32)
+    fire = count >= cfg.window_size
+    rate = succ.astype(jnp.float32) / jnp.maximum(count.astype(jnp.float32), 1.0)
+
+    bonus = jnp.maximum(
+        state.explore_bonus
+        * cfg.explore_decay_factor ** new_episodes.astype(jnp.float32),
+        cfg.explore_bonus_floor,
+    )
+    shrink = fire & (rate > cfg.success_threshold)
+    new_radius = jnp.where(
+        shrink,
+        jnp.maximum(cfg.min_radius, state.radius * cfg.radius_decay),
+        state.radius,
+    )
+    return CurriculumState(
+        radius=new_radius,
+        explore_bonus=bonus,
+        success_count=jnp.where(fire, 0, succ),
+        episode_count=jnp.where(fire, 0, count),
+        num_updates=state.num_updates + shrink.astype(jnp.int32),
     )
