@@ -72,9 +72,13 @@ def cmd_train(args):
     from tpu_plume.train import train_ppo
 
     cfg = _apply_overrides(get_preset(args.preset), args)
+    init_params = None
+    if args.ckpt or args.pth:
+        _, init_params = _load_params(args, cfg)
     res = train_ppo(
         cfg,
         args.out,
+        init_params=init_params,
         capture_netcdf=args.netcdf,
         capture_conc_csv=args.conc_csv,
         use_tensorboard=args.tensorboard,
@@ -154,6 +158,7 @@ def cmd_eval(args):
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
+        goal_radius=args.goal_radius,
     )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -281,6 +286,9 @@ def build_parser():
     sp.add_argument("--lstm-ckpt")
     sp.add_argument("--sample", action="store_true",
                     help="sample actions instead of greedy argmax")
+    sp.add_argument("--goal-radius", type=float,
+                    help="episode-termination radius (default: INITIAL_RADIUS=50, "
+                         "the reference protocol; set 5.0 for the precision metric)")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("expert", help="generate expert demonstrations")

@@ -120,6 +120,7 @@ def evaluate_policy(
     max_steps: Optional[int] = None,
     greedy: bool = True,
     track_trajectories: int = 0,
+    goal_radius: float | None = None,
 ) -> EvalMetrics:
     """Run ``num_episodes`` parallel greedy episodes; returns per-episode
     metrics in the reference npz layout.
@@ -127,7 +128,12 @@ def evaluate_policy(
     ``track_trajectories=K`` additionally records the position history of the
     first K episodes (for the V2.1-style per-episode trajectory PNGs,
     PPOV2.1/evaluate_with_lstm.py:96-107) in ``metrics.trajectories``
-    [K, T, 2] with NaN past episode end."""
+    [K, T, 2] with NaN past episode end.
+
+    ``goal_radius`` overrides the env's episode-termination radius (the
+    reference protocol uses the INITIAL_RADIUS=50 of a fresh env; setting the
+    trained curriculum radius instead measures true localization precision —
+    the <5-unit north star)."""
     n = num_episodes or eval_cfg.episodes
     length = max_steps or min(env_cfg.max_steps, eval_cfg.max_eval_steps)
 
@@ -135,7 +141,9 @@ def evaluate_policy(
     reset_keys = jax.random.split(k_reset, n)
 
     def run(reset_keys, k_scan):
-        env_state, obs = jax.vmap(lambda k: reset(k, env_cfg))(reset_keys)
+        env_state, obs = jax.vmap(
+            lambda k: reset(k, env_cfg, radius=goal_radius)
+        )(reset_keys)
         if stop_gate is not None:
             stop_init, stop_fn = stop_gate
             stop_state = jax.tree.map(
@@ -257,7 +265,9 @@ def generate_expert_data(
     reset_keys = jax.random.split(k_reset, n)
 
     def run(reset_keys, k_scan):
-        env_state, obs = jax.vmap(lambda k: reset(k, env_cfg))(reset_keys)
+        env_state, obs = jax.vmap(
+            lambda k: reset(k, env_cfg, radius=goal_radius)
+        )(reset_keys)
         finished = jnp.zeros(n, bool)
 
         def body(carry, _):

@@ -236,14 +236,18 @@ def train_ppo(
     capture_conc_csv: bool = False,
     profile_steps: int = 0,
     snapshot_every: int | None = None,
+    init_params=None,
 ) -> TrainResult:
     """Train until ``cfg.total_episodes`` episodes complete (or
-    ``max_iterations`` train steps)."""
+    ``max_iterations`` train steps).  ``init_params`` warm-starts the policy
+    (fine-tuning; optimizer state starts fresh)."""
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.PRNGKey(cfg.seed)
     k_model, k_roll, k_loop = jax.random.split(key, 3)
 
     train_state = make_train_state(cfg, k_model)
+    if init_params is not None:
+        train_state = train_state.replace(params=jax.tree.map(jnp.asarray, init_params))
     curriculum = curriculum_init(cfg.curriculum, cfg.env.explore_bonus_init)
     rollout = init_rollout(
         k_roll, cfg.env, cfg.rollout.num_envs,
