@@ -23,6 +23,22 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache(jax):
+    """Persistent compilation cache: the fused train step takes minutes to
+    compile through the tunneled backend; cache it across bench runs."""
+    import os
+
+    cache = os.environ.get(
+        "TPU_PLUME_JAX_CACHE", os.path.expanduser("~/.cache/tpu_plume_jax")
+    )
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+
 # ---------------------------------------------------------------------------
 # Reference-architecture baseline (serial numpy env + torch policy)
 # ---------------------------------------------------------------------------
@@ -141,6 +157,8 @@ def measure_reference_baseline(num_steps: int = 1500) -> float:
 
 def measure_tpu(num_envs: int, unroll: int, iters: int, minibatches: int = 8) -> dict:
     import jax
+
+    _enable_compile_cache(jax)
 
     from tpu_plume.core.config import (
         CurriculumConfig,

@@ -309,8 +309,25 @@ def build_parser():
     return p
 
 
+def _enable_compile_cache():
+    import os
+
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "TPU_PLUME_JAX_CACHE", os.path.expanduser("~/.cache/tpu_plume_jax")
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     args.fn(args)
 
 

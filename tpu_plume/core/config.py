@@ -126,12 +126,15 @@ class PPOConfig:
     # corrected behavior (returns from raw advantages); set bug_compat_returns
     # to reproduce the reference exactly.
     bug_compat_returns: bool = False
-    # Minibatch shuffling: "affine" uses an O(1) random affine index bijection
-    # per epoch (TPU-friendly — no 500k-element sort on the update path;
-    # requires a power-of-two batch, falls back to sort otherwise); "sort" is
-    # a full Fisher-Yates-quality permutation like the reference's randperm
-    # (PPOV2.0/train_ppo2.0.py:44).
-    shuffle_mode: str = "affine"
+    # Minibatch shuffling per epoch:
+    #   "roll"   (default) — random circular rotation of the T-major flat
+    #            batch: zero gather cost on TPU; every minibatch spans all
+    #            envs at a random time offset.
+    #   "affine" — O(1) random affine index bijection (true permutation-like
+    #            mixing; costs a full random gather, ~2x slower update).
+    #   "sort"   — full random permutation like the reference's randperm
+    #            (PPOV2.0/train_ppo2.0.py:44); costs a 500k-element sort.
+    shuffle_mode: str = "roll"
     # Compute the actor-critic trunk in bfloat16 (params stay f32, outputs
     # cast back to f32).  MXU-native; off by default for exact-parity runs.
     bf16_compute: bool = False

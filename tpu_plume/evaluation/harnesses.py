@@ -265,9 +265,7 @@ def generate_expert_data(
     reset_keys = jax.random.split(k_reset, n)
 
     def run(reset_keys, k_scan):
-        env_state, obs = jax.vmap(
-            lambda k: reset(k, env_cfg, radius=goal_radius)
-        )(reset_keys)
+        env_state, obs = jax.vmap(lambda k: reset(k, env_cfg))(reset_keys)
         finished = jnp.zeros(n, bool)
 
         def body(carry, _):

@@ -117,6 +117,21 @@ def ppo_update(
     affine = cfg.shuffle_mode == "affine" and (batch_size & (batch_size - 1)) == 0
 
     def epoch_step(ts: TrainState, epoch_key: jax.Array):
+        if cfg.shuffle_mode == "roll":
+            # Random circular rotation: zero gather cost (contiguous copy).
+            # The flat batch is T-major (adjacent elements are different
+            # envs), so every minibatch spans all envs at a random time
+            # offset — empirically equivalent for PPO and ~2x faster than a
+            # 500k-row random gather on TPU (see bench notes in RESULTS.md).
+            offset = jax.random.randint(epoch_key, (), 0, batch_size)
+            shuffled = jax.tree.map(
+                lambda x: jnp.roll(x, offset, axis=0).reshape(
+                    num_minibatches, cfg.minibatch_size, *x.shape[1:]
+                ),
+                batch,
+            )
+            ts, metrics = jax.lax.scan(minibatch_step, ts, shuffled)
+            return ts, jax.tree.map(jnp.mean, metrics)
         if affine:
             # O(1) random affine bijection i -> (a*i + b) mod B (B power of
             # two, a odd => bijective).  Avoids the O(B log B) sort that
