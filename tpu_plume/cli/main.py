@@ -18,7 +18,6 @@ import argparse
 import dataclasses
 import json
 import os
-import sys
 
 
 def _load_params(args, cfg):
@@ -36,7 +35,6 @@ def _load_params(args, cfg):
     if args.ckpt:
         from tpu_plume.data.checkpoint import restore_checkpoint
 
-        template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, cfg.env.obs_dim)))
         bundle = restore_checkpoint(args.ckpt)
         params = bundle["params"] if "params" in bundle else bundle
         return model, jax.tree.map(jnp.asarray, params)
@@ -44,7 +42,6 @@ def _load_params(args, cfg):
 
 
 def _apply_overrides(cfg, args):
-    env = cfg.env
     rollout = cfg.rollout
     if args.envs:
         rollout = dataclasses.replace(rollout, num_envs=args.envs)
@@ -59,7 +56,7 @@ def _apply_overrides(cfg, args):
         ppo = dataclasses.replace(ppo, entropy_beta=args.entropy)
     if getattr(args, "bf16", False):
         ppo = dataclasses.replace(ppo, bf16_compute=True)
-    cfg = cfg.replace(rollout=rollout, ppo=ppo, env=env)
+    cfg = cfg.replace(rollout=rollout, ppo=ppo)
     if args.episodes:
         cfg = cfg.replace(total_episodes=args.episodes)
     if args.seed is not None:

@@ -103,7 +103,6 @@ class TrainLogger:
     def __init__(self, out_dir: str, use_tensorboard: bool = False):
         os.makedirs(out_dir, exist_ok=True)
         self._fh = open(os.path.join(out_dir, "train_log.csv"), "w", newline="")
-        self._writer = None
         self._csv = csv.writer(self._fh)
         self._tb = None
         if use_tensorboard:
