@@ -182,3 +182,54 @@ def test_pallas_plume_matches_analytic():
     )(fields, ix, iy)
     np.testing.assert_allclose(np.asarray(conc_k), np.asarray(conc_ref), rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(tke_k), np.asarray(tke_ref), rtol=1e-5, atol=1e-4)
+
+
+def test_trilinear_xla():
+    from tpu_plume.ops import trilinear_xla
+
+    rng = np.random.RandomState(3)
+    vol = rng.rand(5, 16, 20).astype(np.float32)
+    # at integer (t,x,y) it's an exact lookup
+    pts = jnp.array([[2.0, 3.0, 4.0], [0.0, 0.0, 0.0], [4.0, 14.0, 18.0]])
+    out = np.asarray(trilinear_xla(jnp.array(vol), pts))
+    np.testing.assert_allclose(out, [vol[2, 3, 4], vol[0, 0, 0], vol[4, 14, 18]], rtol=1e-6)
+    # midpoint in time = average of the two planes' bilinear values
+    p = jnp.array([[1.5, 3.25, 4.75]])
+    out = float(trilinear_xla(jnp.array(vol), p)[0])
+    from tpu_plume.ops import bilinear_xla
+
+    a = float(bilinear_xla(jnp.array(vol[1]), jnp.array([[3.25, 4.75]]))[0])
+    b = float(bilinear_xla(jnp.array(vol[2]), jnp.array([[3.25, 4.75]]))[0])
+    np.testing.assert_allclose(out, 0.5 * (a + b), rtol=1e-5)
+
+
+def test_time_varying_bank_env():
+    """A (K, T, H, W) bank drives the env with per-step time interpolation."""
+    import dataclasses
+
+    from tpu_plume.fields.gridded import sample_bank, synthesize_time_varying_bank
+
+    cfg = EnvConfig(plume_model="gridded", max_steps=40, grid_size=128,
+                    source_padding=20.0, wind_speed_range=(1.0, 2.0))
+    bank = synthesize_time_varying_bank(
+        jax.random.PRNGKey(0), cfg, num_fields=3, num_frames=4,
+        steps_per_frame=10.0, grid=128,
+    )
+    assert bank.conc.shape == (3, 4, 128, 128)
+    # interpolation: halfway between frames == mean of neighbors
+    mid = sample_bank(bank, jnp.int32(1), jnp.int32(60), jnp.int32(60), jnp.float32(15.0))
+    a = float(bank.conc[1, 1, 60, 60])
+    b = float(bank.conc[1, 2, 60, 60])
+    np.testing.assert_allclose(float(mid), 0.5 * (a + b), rtol=1e-5)
+
+    # env runs against the time-varying bank; field changes over the episode
+    state, obs = methane.reset(jax.random.PRNGKey(1), cfg, bank=bank)
+    key = jax.random.PRNGKey(2)
+    concs = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, tr = methane.step(state, jnp.int32(0), sub, cfg, bank)  # stay
+        concs.append(float(tr.info.conc_raw))
+    # with "stay" actions at a fixed-ish cell, the time axis must still move
+    # the base concentration (wind veers across frames)
+    assert np.std(concs) > 0.0

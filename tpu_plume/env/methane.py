@@ -118,7 +118,8 @@ def reset(
     field = new_field(key, cfg, bank)
     pos = jnp.zeros(2, jnp.float32)
     conc0, tke0 = sample_conc_tke(
-        field, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), cfg, bank
+        field, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), cfg, bank,
+        t=jnp.zeros((), jnp.int32),
     )
     state = EnvState(
         pos=pos,
@@ -203,7 +204,7 @@ def step_noise(
     # (lines 108-124); V1.0 is a flat -0.5 inside a 10% margin
     # (ppo0.0.py:176-182).
     ix1, iy1 = _cell(new_pos, cfg)
-    cur_conc, cur_tke = sample_conc_tke(state.field, ix1, iy1, cfg, bank)
+    cur_conc, cur_tke = sample_conc_tke(state.field, ix1, iy1, cfg, bank, t=t_new)
     cur_conc_n = cur_conc / cfg.conc_peak
     border_units = jnp.minimum(
         jnp.minimum(new_pos[0], g - new_pos[0]),
@@ -320,7 +321,8 @@ def auto_reset_from_draws(
 
     field = new_field_from_draws(u_src, u_wind, bits, cfg, bank)
     conc0, tke0 = sample_conc_tke(
-        field, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), cfg, bank
+        field, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), cfg, bank,
+        t=jnp.zeros((), jnp.int32),
     )
     d = cfg.grid_divisions
     fresh = EnvState(

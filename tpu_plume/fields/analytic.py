@@ -142,7 +142,8 @@ def _anisotropic_base(field: FieldState, fx, fy, cfg: EnvConfig):
 
 
 def sample_conc_tke(
-    field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvConfig, bank=None
+    field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvConfig, bank=None,
+    t: jnp.ndarray | None = None,
 ):
     """Concentration and TKE at integer cell(s) (ix, iy). Broadcasts.
 
@@ -157,7 +158,9 @@ def sample_conc_tke(
     if cfg.plume_model == "gridded":
         if bank is None:
             raise ValueError('plume_model="gridded" requires a FieldBank')
-        base = bank.conc[field.idx, ix, iy]
+        from tpu_plume.fields.gridded import sample_bank
+
+        base = sample_bank(bank, field.idx, ix, iy, t)
     elif cfg.plume_model == "anisotropic":
         base = _anisotropic_base(field, fx, fy, cfg)
     else:
@@ -168,11 +171,11 @@ def sample_conc_tke(
     return conc, tke
 
 
-def materialize_fields(field: FieldState, cfg: EnvConfig, bank=None):
+def materialize_fields(field: FieldState, cfg: EnvConfig, bank=None, t=None):
     """Materialize full (grid, grid) conc/tke arrays — for tests, plotting,
     and parity checks against the reference's per-reset arrays.  Not used in
     the training hot path."""
     g = cfg.grid_size
     ix = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
     iy = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    return sample_conc_tke(field, ix, iy, cfg, bank)
+    return sample_conc_tke(field, ix, iy, cfg, bank, t)

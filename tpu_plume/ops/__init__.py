@@ -2,6 +2,7 @@ from tpu_plume.ops.gather import (
     bank_cell_lookup,
     bilinear_onehot,
     bilinear_xla,
+    trilinear_xla,
 )
 
-__all__ = ["bank_cell_lookup", "bilinear_onehot", "bilinear_xla"]
+__all__ = ["bank_cell_lookup", "bilinear_onehot", "bilinear_xla", "trilinear_xla"]

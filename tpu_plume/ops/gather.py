@@ -72,3 +72,29 @@ def bilinear_onehot(field: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     wy = _axis_weights(pts[:, 1], w)              # [N, W]
     rows = jnp.dot(wx, field, preferred_element_type=jnp.float32)  # [N, W]
     return jnp.sum(rows * wy, axis=-1)
+
+
+def trilinear_xla(volume: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of ``volume`` [T, H, W] at float points ``pts``
+    [N, 3] = (t, x, y), clamped — the time-varying WRF-LES field query."""
+    td, h, w = volume.shape
+    t = jnp.clip(pts[:, 0], 0.0, td - 1.0)
+    x = jnp.clip(pts[:, 1], 0.0, h - 1.0)
+    y = jnp.clip(pts[:, 2], 0.0, w - 1.0)
+    t0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, td - 2) if td > 1 else jnp.zeros_like(t, jnp.int32)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, h - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, w - 2)
+    ft = t - t0 if td > 1 else jnp.zeros_like(t)
+    fx = x - x0
+    fy = y - y0
+    t1 = jnp.minimum(t0 + 1, td - 1)
+
+    def plane(ti):
+        v00 = volume[ti, x0, y0]
+        v01 = volume[ti, x0, y0 + 1]
+        v10 = volume[ti, x0 + 1, y0]
+        v11 = volume[ti, x0 + 1, y0 + 1]
+        return (v00 * (1 - fx) * (1 - fy) + v01 * (1 - fx) * fy
+                + v10 * fx * (1 - fy) + v11 * fx * fy)
+
+    return plane(t0) * (1 - ft) + plane(t1) * ft
