@@ -51,9 +51,10 @@ def normalize_advantages(advantages: jnp.ndarray, cfg: PPOConfig) -> jnp.ndarray
 def ppo_loss(params, apply_fn, batch: PPOBatch, cfg: PPOConfig):
     logits, values = apply_fn(params, batch.obs)
     log_probs_all = jax.nn.log_softmax(logits)
-    new_log_probs = jnp.take_along_axis(
-        log_probs_all, batch.actions[:, None], axis=-1
-    ).squeeze(-1)
+    # one-hot contraction instead of take_along_axis: no gather in the
+    # forward and no scatter in the backward (TPU gathers are the enemy).
+    action_oh = jax.nn.one_hot(batch.actions, logits.shape[-1], dtype=logits.dtype)
+    new_log_probs = jnp.sum(log_probs_all * action_oh, axis=-1)
 
     # Clipped policy surrogate (train_ppo2.0.py:67-71).
     ratio = jnp.exp(new_log_probs - batch.old_log_probs)

@@ -156,9 +156,11 @@ def rollout_chunk(
             action = jnp.argmax(logits, axis=-1)
         else:
             action = jnp.argmax(logits + gumbel_t, axis=-1)
-        log_prob = jnp.take_along_axis(
-            jax.nn.log_softmax(logits), action[:, None], axis=-1
-        ).squeeze(-1)
+        log_prob = jnp.sum(
+            jax.nn.log_softmax(logits)
+            * jax.nn.one_hot(action, logits.shape[-1], dtype=logits.dtype),
+            axis=-1,
+        )
 
         env_state, trans = jax.vmap(lambda s, a, n: step_noise(s, a, n, cfg, bank))(
             c.env_state, action, noise_t
