@@ -81,12 +81,24 @@ def _explore_cell(pos: jnp.ndarray, cfg: EnvConfig):
     return c[0], c[1]
 
 
+def _explore_onehot(pos: jnp.ndarray, cfg: EnvConfig) -> jnp.ndarray:
+    """One-hot [D, D] mask of the explore cell.  Visit-grid reads/updates go
+    through dense outer-product masks instead of gather/scatter — at D=10
+    that is 100 VPU flops per env per step, far cheaper on TPU than a
+    scattered index op across thousands of vmapped envs."""
+    cx, cy = _explore_cell(pos, cfg)
+    d = cfg.grid_divisions
+    oh_x = jax.nn.one_hot(cx, d, dtype=jnp.float32)
+    oh_y = jax.nn.one_hot(cy, d, dtype=jnp.float32)
+    return oh_x[:, None] * oh_y[None, :]
+
+
 def observe(state: EnvState, cfg: EnvConfig, bank=None) -> jnp.ndarray:
     """Reference ``_get_obs`` (PPOV1.1/environment.py:64-80); field values
     come from the state's cached current-cell sample."""
     conc, tke = state.conc, state.tke
-    cx, cy = _explore_cell(state.pos, cfg)
-    visits = state.visited[cx, cy].astype(jnp.float32)
+    mask = _explore_onehot(state.pos, cfg)
+    visits = jnp.sum(state.visited.astype(jnp.float32) * mask)
     explore_level = jnp.minimum(visits / cfg.explore_visit_norm, 1.0)
     return jnp.stack(
         [
@@ -229,9 +241,9 @@ def step_noise(
     # Exploration bookkeeping at the new cell (lines 126-133): the visit is
     # counted first, then both the explore_level and the 1/(visits^0.75 + 1)
     # attenuation read the post-increment count.
-    cx, cy = _explore_cell(new_pos, cfg)
-    visited = state.visited.at[cx, cy].add(1)
-    visits = visited[cx, cy].astype(jnp.float32)
+    mask = _explore_onehot(new_pos, cfg)
+    visited = state.visited + mask.astype(state.visited.dtype)
+    visits = jnp.sum(visited.astype(jnp.float32) * mask)
     explore_level = jnp.minimum(visits / cfg.explore_visit_norm, 1.0)
     if cfg.reward_variant == "v1_0":
         # V1.0: bonus / (visits + 1) (ppo0.0.py:164)
