@@ -78,6 +78,7 @@ def cmd_train(args):
         init_params=init_params,
         capture_netcdf=args.netcdf,
         capture_conc_csv=args.conc_csv,
+        write_csv=not args.no_csv,
         use_tensorboard=args.tensorboard,
         max_iterations=args.iterations,
         profile_steps=args.profile_steps,
@@ -261,6 +262,8 @@ def build_parser():
                     help="capture a jax.profiler trace over N train steps")
     sp.add_argument("--snapshot-every", type=int,
                     help="save a params snapshot every N iterations")
+    sp.add_argument("--no-csv", action="store_true",
+                    help="skip per-episode CSV drain (pure-throughput training)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-gail", help="PPO + GAIL discriminator")

@@ -23,6 +23,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.training.train_state import TrainState
@@ -201,7 +202,9 @@ def train_ppo_gail(
         if max_iterations is not None and iteration >= max_iterations:
             break
         carry, stats = train_step(carry)
-        jax.block_until_ready(stats["loss/total"])
+        # one stacked transfer for all scalars (tunnel round trips are ~25ms)
+        flat, treedef = jax.tree.flatten(stats)
+        stats = jax.tree.unflatten(treedef, list(np.asarray(jnp.stack(flat))))
         iteration += 1
         episodes += int(stats["rollout/episodes"])
         successes += int(stats["rollout/successes"])

@@ -284,6 +284,7 @@ def train_ppo(
     episodes = successes = env_steps = nc_written = 0
     iteration = 0
     t_start = time.perf_counter()
+    t_steady = None  # set after the first (compile-bearing) iteration
 
     while episodes < cfg.total_episodes:
         if max_iterations is not None and iteration >= max_iterations:
@@ -292,9 +293,16 @@ def train_ppo(
             jax.profiler.start_trace(os.path.join(out_dir, "profile"))
         watch.start("step")
         loop, stats, traj = train_step(loop)
-        jax.block_until_ready(stats["loss/total"])
+        # One stacked device->host transfer for all scalar stats: on tunneled
+        # backends every individual float()/int() costs a full round trip
+        # (~25 ms each measured), which would dominate the 60 ms step.
+        flat, treedef = jax.tree.flatten(stats)
+        stats = jax.tree.unflatten(treedef, list(np.asarray(jnp.stack(flat))))
         watch.stop("step")
         iteration += 1
+        if t_steady is None:
+            t_steady = time.perf_counter()
+            env_steps_at_steady = cfg.rollout.num_envs * cfg.rollout.unroll_length
         if profile_steps and iteration == 2 + profile_steps:
             jax.profiler.stop_trace()
         env_steps += cfg.rollout.num_envs * cfg.rollout.unroll_length
@@ -379,9 +387,10 @@ def train_ppo(
             )
 
         if iteration % log_every == 0 or episodes >= cfg.total_episodes:
-            dt = time.perf_counter() - t_start
-            sps = env_steps / max(dt, 1e-9)
-            scalars = {k: float(v) for k, v in stats.items()}
+            # steady-state throughput: exclude the compile-bearing first iter
+            dt = time.perf_counter() - t_steady
+            sps = (env_steps - env_steps_at_steady) / max(dt, 1e-9)
+            scalars = {k: float(v) for k, v in stats.items()}  # host floats already
             scalars.update(
                 {
                     "throughput/env_steps_per_sec": sps,
@@ -402,7 +411,7 @@ def train_ppo(
                     flush=True,
                 )
 
-    total_dt = time.perf_counter() - t_start
+    total_dt = time.perf_counter() - (t_steady or t_start)
     if csv_logger is not None:
         csv_logger.close()
     if nc_writer is not None:
@@ -434,6 +443,7 @@ def train_ppo(
         episodes=episodes,
         successes=successes,
         env_steps=env_steps,
-        steps_per_sec=env_steps / max(total_dt, 1e-9),
+        steps_per_sec=(env_steps - (cfg.rollout.num_envs * cfg.rollout.unroll_length
+                                    if t_steady else 0)) / max(total_dt, 1e-9),
         out_dir=out_dir,
     )
