@@ -246,6 +246,8 @@ def build_parser():
         sp.add_argument("--minibatch", type=int)
         sp.add_argument("--iterations", type=int)
         sp.add_argument("--seed", type=int)
+        sp.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (find the op producing NaNs)")
         sp.add_argument("--lr", type=float)
         sp.add_argument("--entropy", type=float)
         sp.add_argument("--bf16", action="store_true")
@@ -328,6 +330,10 @@ def _enable_compile_cache():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     _enable_compile_cache()
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     args.fn(args)
 
 

@@ -299,6 +299,14 @@ def train_ppo(
         flat, treedef = jax.tree.flatten(stats)
         stats = jax.tree.unflatten(treedef, list(np.asarray(jnp.stack(flat))))
         watch.stop("step")
+        # NaN tripwire — the reference raises on NaN logits/probs
+        # (PPOV1.1/model.py:47-49, PPOV2.0/train_ppo2.0.py:57-62); here the
+        # whole-iteration loss is the canary.
+        if not np.isfinite(stats["loss/total"]):
+            raise RuntimeError(
+                f"non-finite loss at iteration {iteration}: {stats} — "
+                "re-run with --debug-nans to locate the producing op"
+            )
         iteration += 1
         if t_steady is None:
             t_steady = time.perf_counter()
