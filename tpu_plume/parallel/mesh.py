@@ -50,6 +50,13 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 def shard_loop_carry(loop: Any, mesh: Mesh) -> Any:
     """Lay out a ppo_trainer.LoopCarry for SPMD: env-parallel state sharded
     on the env axis, learner state and PRNG keys replicated."""
+    num_envs = loop.rollout.obs.shape[0]
+    n_dev = mesh.devices.size
+    if num_envs % n_dev != 0:
+        raise ValueError(
+            f"num_envs={num_envs} must be divisible by the mesh size {n_dev} "
+            f"to shard the env axis evenly"
+        )
     rollout = loop.rollout.replace(
         env_state=shard_batch(loop.rollout.env_state, mesh),
         obs=shard_batch(loop.rollout.obs, mesh),
