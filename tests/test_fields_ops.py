@@ -233,3 +233,159 @@ def test_time_varying_bank_env():
     # with "stay" actions at a fixed-ish cell, the time axis must still move
     # the base concentration (wind veers across frames)
     assert np.std(concs) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# 3-D time-varying volumes (the WRF-LES north-star field path)
+# ---------------------------------------------------------------------------
+
+
+def _bank3d(num_fields=3, num_frames=4, num_levels=5, grid=64):
+    cfg = EnvConfig(
+        plume_model="gridded", env_3d=True, grid_size=grid, source_padding=10.0,
+        domain_height=80.0,
+    )
+    from tpu_plume.fields.gridded import synthesize_3d_bank
+
+    bank = synthesize_3d_bank(
+        jax.random.PRNGKey(0), cfg, num_fields=num_fields, num_frames=num_frames,
+        num_levels=num_levels, grid=grid, steps_per_frame=10.0,
+        z_extent=cfg.domain_height,
+    )
+    return cfg, bank
+
+
+def test_3d_bank_sampling_matches_numpy_oracle():
+    from tpu_plume.fields.gridded import sample_bank
+
+    cfg, bank = _bank3d()
+    conc = np.asarray(bank.conc)
+    K, T, Z = conc.shape[:3]
+
+    def oracle(idx, ix, iy, t, z):
+        tf = t / bank.steps_per_frame
+        t0 = min(int(np.floor(tf)), T - 2)
+        ft = min(max(tf - t0, 0.0), 1.0)
+        zf = z / bank.z_extent * (Z - 1)
+        z0 = min(int(np.floor(zf)), Z - 2)
+        fz = min(max(zf - z0, 0.0), 1.0)
+        at = lambda ti, zi: conc[idx, ti, zi, ix, iy]
+        lo = (1 - fz) * at(t0, z0) + fz * at(t0, z0 + 1)
+        hi = (1 - fz) * at(t0 + 1, z0) + fz * at(t0 + 1, z0 + 1)
+        return (1 - ft) * lo + ft * hi
+
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        idx = int(rng.integers(0, K))
+        ix, iy = int(rng.integers(0, 64)), int(rng.integers(0, 64))
+        t = int(rng.integers(0, 45))
+        z = float(rng.uniform(0, bank.z_extent))
+        got = float(sample_bank(
+            bank, jnp.int32(idx), jnp.int32(ix), jnp.int32(iy),
+            jnp.int32(t), jnp.float32(z),
+        ))
+        np.testing.assert_allclose(got, oracle(idx, ix, iy, t, z), rtol=1e-4, atol=1e-5)
+
+
+def test_sample_bank_points_subcell():
+    """Float-point sampling == bilinear over the (t, z)-interpolated plane."""
+    from tpu_plume.fields.gridded import sample_bank, sample_bank_points
+
+    cfg, bank = _bank3d()
+    rng = np.random.default_rng(1)
+    x = jnp.float32(rng.uniform(0, 62))
+    y = jnp.float32(rng.uniform(0, 62))
+    t = jnp.int32(17)
+    z = jnp.float32(33.0)
+    got = float(sample_bank_points(bank, jnp.int32(1), x, y, t, z))
+    x0, y0 = int(np.floor(float(x))), int(np.floor(float(y)))
+    fx, fy = float(x) - x0, float(y) - y0
+    corners = [
+        float(sample_bank(bank, jnp.int32(1), jnp.int32(x0 + dx), jnp.int32(y0 + dy), t, z))
+        for dx in (0, 1) for dy in (0, 1)
+    ]
+    want = (corners[0] * (1 - fx) * (1 - fy) + corners[1] * (1 - fx) * fy
+            + corners[2] * fx * (1 - fy) + corners[3] * fx * fy)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bank_wind_time_interpolation():
+    from tpu_plume.fields.gridded import bank_wind
+
+    cfg, bank = _bank3d()
+    assert bank.wind.shape == (3, 4, 2)
+    # halfway between frames 1 and 2 (steps_per_frame=10 -> t=15)
+    got = np.asarray(bank_wind(bank, jnp.int32(2), jnp.float32(15.0)))
+    want = 0.5 * (np.asarray(bank.wind[2, 1]) + np.asarray(bank.wind[2, 2]))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # a windless bank yields zeros
+    nb = FieldBank(conc=bank.conc, source=bank.source)
+    np.testing.assert_array_equal(
+        np.asarray(bank_wind(nb, jnp.int32(0), jnp.float32(3.0))), [0.0, 0.0]
+    )
+
+
+def test_3d_bank_netcdf_roundtrip(tmp_path):
+    cfg, bank = _bank3d(num_fields=2, num_frames=3, num_levels=4, grid=32)
+    path = str(tmp_path / "bank3d.nc")
+    export_bank_netcdf(bank, path)
+    loaded = ingest_netcdf(path)
+    assert loaded.conc.shape == (2, 3, 4, 32, 32)
+    np.testing.assert_allclose(np.asarray(loaded.conc), np.asarray(bank.conc), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.wind), np.asarray(bank.wind), rtol=1e-6)
+    assert loaded.steps_per_frame == bank.steps_per_frame
+    assert loaded.z_extent == bank.z_extent
+
+
+def test_trilinear_zyx_xla_exact_and_midpoint():
+    from tpu_plume.ops import bilinear_xla, trilinear_zyx_xla
+
+    rng = np.random.RandomState(4)
+    vol = rng.rand(6, 16, 20).astype(np.float32)
+    pts = jnp.array([[3.0, 5.0, 7.0], [0.0, 0.0, 0.0], [5.0, 14.0, 18.0]])
+    out = np.asarray(trilinear_zyx_xla(jnp.array(vol), pts))
+    np.testing.assert_allclose(
+        out, [vol[3, 5, 7], vol[0, 0, 0], vol[5, 14, 18]], rtol=1e-6
+    )
+    p = jnp.array([[2.5, 3.25, 4.75]])
+    out = float(trilinear_zyx_xla(jnp.array(vol), p)[0])
+    a = float(bilinear_xla(jnp.array(vol[2]), jnp.array([[3.25, 4.75]]))[0])
+    b = float(bilinear_xla(jnp.array(vol[3]), jnp.array([[3.25, 4.75]]))[0])
+    np.testing.assert_allclose(out, 0.5 * (a + b), rtol=1e-5)
+
+
+def test_trilinear_pallas_interpret():
+    from tpu_plume.ops.gather import trilinear_zyx_xla
+    from tpu_plume.ops.pallas_trilinear import trilinear_pallas
+
+    rng = np.random.RandomState(5)
+    vol = jnp.asarray(rng.rand(5, 40, 56).astype(np.float32))
+    pts = jnp.asarray(np.stack([
+        rng.uniform(-1, 6, 300), rng.uniform(-1, 41, 300), rng.uniform(-1, 57, 300)
+    ], -1).astype(np.float32))
+    want = np.asarray(trilinear_zyx_xla(vol, pts))
+    got = np.asarray(trilinear_pallas(vol, pts, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # single-level volume degenerates to bilinear
+    got1 = np.asarray(trilinear_pallas(vol[:1], pts, interpret=True))
+    want1 = np.asarray(trilinear_zyx_xla(vol[:1], pts))
+    np.testing.assert_allclose(got1, want1, rtol=1e-4, atol=1e-5)
+
+
+def test_anisotropic_vertical_profile():
+    """3-D analytic plume: conc decays monotonically away from source_z."""
+    from tpu_plume.fields.analytic import _anisotropic_base
+
+    cfg = EnvConfig(
+        plume_model="anisotropic", env_3d=True, source_z=20.0,
+        wind_speed_range=(1.0, 1.0),
+    )
+    fs = FieldState(
+        source=jnp.array([100.0, 100.0]), seed=jnp.uint32(0),
+        wind=jnp.array([1.0, 0.0]), idx=jnp.int32(0),
+    )
+    fx = jnp.float32(160.0)   # 60 units downwind
+    fy = jnp.float32(100.0)
+    vals = [float(_anisotropic_base(fs, fx, fy, cfg, z=jnp.float32(z)))
+            for z in (20.0, 24.0, 28.0, 33.0)]
+    assert vals[0] > vals[1] > vals[2] > vals[3] > 0.0

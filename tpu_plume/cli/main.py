@@ -64,6 +64,43 @@ def _apply_overrides(cfg, args):
     return cfg
 
 
+def _make_bank(args, cfg):
+    """Build the FieldBank for gridded configs: ``--bank file.nc`` ingests a
+    (possibly 3-D time-varying) WRF-LES NetCDF volume; ``--synth-bank``
+    generates one procedurally.  Returns None for analytic plume models."""
+    if getattr(args, "bank", None):
+        from tpu_plume.fields.gridded import ingest_netcdf
+
+        return ingest_netcdf(args.bank)
+    kind = getattr(args, "synth_bank", None)
+    if kind is None:
+        if cfg.env.plume_model == "gridded":
+            raise SystemExit(
+                'plume_model="gridded" needs --bank <file.nc> or --synth-bank'
+            )
+        return None
+    import jax
+
+    from tpu_plume.fields import gridded
+
+    key = jax.random.PRNGKey(getattr(args, "bank_seed", 0) or 0)
+    k = args.bank_fields or (4 if kind == "3d" else 64)
+    if kind == "static":
+        return gridded.synthesize_bank(key, cfg.env, num_fields=k)
+    if kind == "time":
+        return gridded.synthesize_time_varying_bank(
+            key, cfg.env, num_fields=k,
+            num_frames=args.bank_frames or 16,
+            steps_per_frame=args.bank_spf or 64.0,
+        )
+    return gridded.synthesize_3d_bank(
+        key, cfg.env, num_fields=k,
+        num_frames=args.bank_frames or 8,
+        num_levels=args.bank_levels or 8,
+        steps_per_frame=args.bank_spf or 128.0,
+    )
+
+
 def cmd_train(args):
     from tpu_plume.core import get_preset
     from tpu_plume.train import train_ppo
@@ -76,6 +113,7 @@ def cmd_train(args):
         cfg,
         args.out,
         init_params=init_params,
+        bank=_make_bank(args, cfg),
         capture_netcdf=args.netcdf,
         capture_conc_csv=args.conc_csv,
         write_csv=not args.no_csv,
@@ -156,7 +194,7 @@ def cmd_eval(args):
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
-        goal_radius=args.goal_radius,
+        goal_radius=args.goal_radius, bank=_make_bank(args, cfg),
     )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -211,6 +249,7 @@ def cmd_expert(args):
     states, actions = generate_expert_data(
         params, model.apply, cfg.env, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes or 100, path=args.out,
+        bank=_make_bank(args, cfg),
     )
     print(json.dumps({"samples": int(states.shape[0]), "path": args.out}))
 
@@ -240,6 +279,15 @@ def build_parser():
     def common(sp, out_default=None):
         sp.add_argument("--preset", default="ppo_v2_0")
         sp.add_argument("--out", default=out_default)
+        sp.add_argument("--bank", help="WRF-LES NetCDF field bank to ingest "
+                        "(plume_model=gridded)")
+        sp.add_argument("--synth-bank", choices=["static", "time", "3d"],
+                        help="procedurally synthesize a gridded field bank")
+        sp.add_argument("--bank-fields", type=int, help="bank rows K")
+        sp.add_argument("--bank-frames", type=int, help="time frames T")
+        sp.add_argument("--bank-levels", type=int, help="z levels Z (3d)")
+        sp.add_argument("--bank-spf", type=float, help="env steps per frame")
+        sp.add_argument("--bank-seed", type=int, default=0)
         sp.add_argument("--episodes", type=int)
         sp.add_argument("--envs", type=int)
         sp.add_argument("--unroll", type=int)

@@ -46,6 +46,33 @@ class EnvConfig:
     sigma_y_exp: float = 0.71
     sigma_y_min: float = 5.0           # near-source crosswind spread floor
     wind_speed_range: tuple = (0.0, 0.0)  # per-episode |wind|, grid units/step
+
+    # --- 3-D flight (new capability; the reference is strictly 2-D while its
+    # README advertises a UAV in a WRF-LES volume — SURVEY.md §0).  With
+    # ``env_3d`` the agent carries a z coordinate in [0, domain_height]
+    # (grid units), gets ±z actions, and observes z/domain_height; the plume
+    # gains a vertical Gaussian profile around ``source_z`` with spread
+    # sigma_z = max(sigma_z_min, sigma_z_coef * downwind^sigma_z_exp)
+    # (anisotropic) or the isotropic 3-D radial Gaussian.  Success stays a
+    # *horizontal* distance gate: the source is a ground (x, y) point and the
+    # reference's deviation metric is planimetric (PPOV2.0/evaluate_with_lstm
+    # .py:100-132).
+    env_3d: bool = False
+    domain_height: float = 100.0       # z extent, grid units
+    z_move_frac: float = 0.02          # vertical step = grid_size * z_move_frac
+    source_z: float = 0.0              # plume release height
+    sigma_z_coef: float = 0.2
+    sigma_z_exp: float = 0.7
+    sigma_z_min: float = 3.0
+    # Gridded-bank sampling: integer-cell reads (reference parity) or
+    # sub-cell multilinear interpolation of the (x, y[, z], t) query point
+    # (the north-star per-UAV field query).
+    subcell_sampling: bool = False
+    # Horizontal advection of the agent by the field wind (grid units of
+    # displacement per unit wind per step); 0 disables.  Gridded banks supply
+    # per-frame wind (FieldBank.wind); the analytic models use the episode
+    # wind vector.
+    wind_advect_coef: float = 0.0
     # V1.0 uses signed randn for the turbulence normal term and
     # tke_field = |turbulence| * 2 (PPOV1.0/ppo0.0.py:108-114); V1.1+ uses
     # |randn| and tke_field = turbulence (PPOV1.1/environment.py:56-62).
@@ -94,16 +121,26 @@ class EnvConfig:
         return self.grid_size * self.move_frac
 
     @property
+    def z_move_step(self) -> float:
+        return self.grid_size * self.z_move_frac
+
+    @property
     def cell_size(self) -> int:
         return self.grid_size // self.grid_divisions
 
     @property
+    def pos_dim(self) -> int:
+        return 3 if self.env_3d else 2
+
+    @property
     def obs_dim(self) -> int:
-        return 6
+        # 3-D adds z/domain_height after (x, y)
+        return 7 if self.env_3d else 6
 
     @property
     def num_actions(self) -> int:
-        return 5
+        # 3-D adds up/down to stay/±y/±x
+        return 7 if self.env_3d else 5
 
 
 @dataclass(frozen=True)
@@ -283,12 +320,33 @@ def _wrf_les() -> TrainConfig:
     )
 
 
+def _wrf_les_3d() -> TrainConfig:
+    """Full north-star config: 3-D flight through a time-varying gridded
+    WRF-LES volume ([K, T, Z, H, W] FieldBank with per-frame wind) with
+    sub-cell (x, y, z, t) field queries and wind advection.  Pair with a
+    bank from ``fields.gridded.synthesize_3d_bank`` or ``ingest_netcdf``
+    (CLI: ``--bank``/``--synth-bank``)."""
+    return TrainConfig(
+        name="wrf_les_3d",
+        env=EnvConfig(
+            max_steps=1000,
+            plume_sigma=15.0,
+            plume_model="gridded",
+            env_3d=True,
+            subcell_sampling=True,
+            wind_advect_coef=0.5,
+        ),
+        rollout=RolloutConfig(num_envs=4096, unroll_length=128),
+    )
+
+
 PRESETS = {
     "ppo_v1_0": _v1_0,
     "ppo_v1_1": _v1_1,
     "ppo_v2_0": _v2_0,
     "ppo_v2_1": _v2_1,
     "wrf_les": _wrf_les,
+    "wrf_les_3d": _wrf_les_3d,
 }
 
 

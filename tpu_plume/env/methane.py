@@ -95,21 +95,25 @@ def _explore_onehot(pos: jnp.ndarray, cfg: EnvConfig) -> jnp.ndarray:
 
 def observe(state: EnvState, cfg: EnvConfig, bank=None) -> jnp.ndarray:
     """Reference ``_get_obs`` (PPOV1.1/environment.py:64-80); field values
-    come from the state's cached current-cell sample."""
+    come from the state's cached current-cell sample.  3-D flight inserts
+    z/domain_height after (x, y) — obs_dim 7."""
     conc, tke = state.conc, state.tke
     mask = _explore_onehot(state.pos, cfg)
     visits = jnp.sum(state.visited.astype(jnp.float32) * mask)
     explore_level = jnp.minimum(visits / cfg.explore_visit_norm, 1.0)
-    return jnp.stack(
-        [
-            state.pos[0] / cfg.grid_size,
-            state.pos[1] / cfg.grid_size,
-            conc / cfg.conc_peak,
-            tke / (cfg.turbulence_intensity * 3.0),
-            state.t.astype(jnp.float32) / cfg.max_steps,
-            explore_level,
-        ]
-    ).astype(jnp.float32)
+    parts = [
+        state.pos[0] / cfg.grid_size,
+        state.pos[1] / cfg.grid_size,
+    ]
+    if cfg.env_3d:
+        parts.append(state.pos[2] / cfg.domain_height)
+    parts += [
+        conc / cfg.conc_peak,
+        tke / (cfg.turbulence_intensity * 3.0),
+        state.t.astype(jnp.float32) / cfg.max_steps,
+        explore_level,
+    ]
+    return jnp.stack(parts).astype(jnp.float32)
 
 
 def reset(
@@ -128,10 +132,12 @@ def reset(
         explore_bonus = cfg.explore_bonus_init
     d = cfg.grid_divisions
     field = new_field(key, cfg, bank)
-    pos = jnp.zeros(2, jnp.float32)
+    pos = jnp.zeros(cfg.pos_dim, jnp.float32)
     conc0, tke0 = sample_conc_tke(
         field, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), cfg, bank,
         t=jnp.zeros((), jnp.int32),
+        z=pos[2] if cfg.env_3d else None,
+        xy=pos[:2],
     )
     state = EnvState(
         pos=pos,
@@ -146,19 +152,24 @@ def reset(
     return state, observe(state, cfg, bank)
 
 
-# Action table (reference step(): stay / +y / -y / +x / -x, environment.py:91-93).
-def _action_delta(action: jnp.ndarray, move_step: float) -> jnp.ndarray:
-    table = jnp.array(
-        [[0.0, 0.0], [0.0, 1.0], [0.0, -1.0], [1.0, 0.0], [-1.0, 0.0]],
-        jnp.float32,
-    ) * jnp.float32(move_step)
+# Action table (reference step(): stay / +y / -y / +x / -x, environment.py:91-93;
+# 3-D flight appends +z / -z at the vertical step size).
+def _action_delta(action: jnp.ndarray, cfg: EnvConfig) -> jnp.ndarray:
+    m = cfg.move_step
+    rows = [
+        [0.0, 0.0], [0.0, m], [0.0, -m], [m, 0.0], [-m, 0.0],
+    ]
+    if cfg.env_3d:
+        zm = cfg.z_move_step
+        rows = [r + [0.0] for r in rows] + [[0.0, 0.0, zm], [0.0, 0.0, -zm]]
+    table = jnp.array(rows, jnp.float32)
     return table[action]
 
 
 def step(state: EnvState, action: jnp.ndarray, key: jax.Array, cfg: EnvConfig, bank=None):
     """Reference ``step`` (PPOV1.1/environment.py:82-168), order-faithful."""
     return step_noise(
-        state, action, jax.random.normal(key, (2,), jnp.float32), cfg, bank
+        state, action, jax.random.normal(key, (cfg.pos_dim,), jnp.float32), cfg, bank
     )
 
 
@@ -175,6 +186,8 @@ def step_noise(
     g = float(cfg.grid_size)
     move_step = cfg.move_step
     tke_norm = cfg.turbulence_intensity * 3.0
+    if cfg.elastic_walls and cfg.env_3d:
+        raise ValueError("elastic_walls (v1_0) is a 2-D-only reward variant")
 
     t_new = state.t + 1
 
@@ -185,10 +198,14 @@ def step_noise(
 
     # Deterministic displacement + move penalty (V1.1 lines 91-95; V1.0 uses
     # a flat -0.05 per-step penalty, ppo0.0.py:169).
-    delta = _action_delta(action, move_step)
+    delta = _action_delta(action, cfg)
     delta_norm = jnp.linalg.norm(delta)
     if cfg.reward_variant == "v1_0":
         move_penalty = jnp.float32(-cfg.v10_flat_move_penalty)
+    elif cfg.env_3d:
+        # vertical steps are full moves despite the smaller step size
+        move_magnitude = (delta_norm > 0.0).astype(jnp.float32)
+        move_penalty = -cfg.move_penalty_coef * (1.0 - move_magnitude)
     else:
         move_magnitude = delta_norm / move_step
         move_penalty = -cfg.move_penalty_coef * (1.0 - move_magnitude)
@@ -203,12 +220,32 @@ def step_noise(
     )
     raw = state.pos + delta + turb_eff
 
+    # Horizontal advection by the field wind (WRF-LES coupling; 0 by default).
+    if cfg.wind_advect_coef:
+        if cfg.plume_model == "gridded":
+            from tpu_plume.fields.gridded import bank_wind
+
+            wvec = bank_wind(bank, state.field.idx, t_new)
+        else:
+            wvec = state.field.wind
+        advect = cfg.wind_advect_coef * wvec
+        if cfg.env_3d:
+            advect = jnp.concatenate([advect, jnp.zeros(1, jnp.float32)])
+        raw = raw + advect
+
     if cfg.elastic_walls:
         # V1.0 bounce-back walls (PPOV1.0/ppo0.0.py:151-154): clip to a 10%
         # margin, then revert the whole move if any coordinate left the domain.
         cand = jnp.clip(raw, -0.1 * g, 1.1 * g)
         out = jnp.any((cand < 0.0) | (cand > g))
         new_pos = jnp.where(out, state.pos, cand)
+    elif cfg.env_3d:
+        new_pos = jnp.concatenate(
+            [
+                jnp.clip(raw[:2], 0.0, g - cfg.clip_edge_eps),
+                jnp.clip(raw[2:], 0.0, cfg.domain_height),
+            ]
+        )
     else:
         new_pos = jnp.clip(raw, 0.0, g - cfg.clip_edge_eps)
 
@@ -216,7 +253,11 @@ def step_noise(
     # (lines 108-124); V1.0 is a flat -0.5 inside a 10% margin
     # (ppo0.0.py:176-182).
     ix1, iy1 = _cell(new_pos, cfg)
-    cur_conc, cur_tke = sample_conc_tke(state.field, ix1, iy1, cfg, bank, t=t_new)
+    cur_conc, cur_tke = sample_conc_tke(
+        state.field, ix1, iy1, cfg, bank, t=t_new,
+        z=new_pos[2] if cfg.env_3d else None,
+        xy=new_pos[:2],
+    )
     cur_conc_n = cur_conc / cfg.conc_peak
     border_units = jnp.minimum(
         jnp.minimum(new_pos[0], g - new_pos[0]),
@@ -269,7 +310,9 @@ def step_noise(
 
     # Terminal bonus within the curriculum radius (V1.1 lines 147-151:
     # min(500, 150*R0/R); V1.0: uncapped 100*R0/R, ppo0.0.py:186-187).
-    distance = jnp.linalg.norm(new_pos - state.field.source)
+    # Success is a horizontal gate (the source is a ground (x, y) point; the
+    # reference's deviation metric is planimetric).
+    distance = jnp.linalg.norm(new_pos[:2] - state.field.source)
     reached = distance <= state.radius
     if cfg.reward_variant == "v1_0":
         terminal_bonus = 100.0 * (cfg.initial_radius / state.radius)
@@ -332,13 +375,16 @@ def auto_reset_from_draws(
     from tpu_plume.fields.analytic import new_field_from_draws
 
     field = new_field_from_draws(u_src, u_wind, bits, cfg, bank)
+    pos0 = jnp.zeros(cfg.pos_dim, jnp.float32)
     conc0, tke0 = sample_conc_tke(
         field, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), cfg, bank,
         t=jnp.zeros((), jnp.int32),
+        z=pos0[2] if cfg.env_3d else None,
+        xy=pos0[:2],
     )
     d = cfg.grid_divisions
     fresh = EnvState(
-        pos=jnp.zeros(2, jnp.float32),
+        pos=pos0,
         t=jnp.zeros((), jnp.int32),
         visited=jnp.zeros((d, d), jnp.int32),
         field=field,

@@ -121,6 +121,7 @@ def evaluate_policy(
     greedy: bool = True,
     track_trajectories: int = 0,
     goal_radius: float | None = None,
+    bank=None,
 ) -> EvalMetrics:
     """Run ``num_episodes`` parallel greedy episodes; returns per-episode
     metrics in the reference npz layout.
@@ -142,7 +143,7 @@ def evaluate_policy(
 
     def run(reset_keys, k_scan):
         env_state, obs = jax.vmap(
-            lambda k: reset(k, env_cfg, radius=goal_radius)
+            lambda k: reset(k, env_cfg, radius=goal_radius, bank=bank)
         )(reset_keys)
         if stop_gate is not None:
             stop_init, stop_fn = stop_gate
@@ -170,7 +171,7 @@ def evaluate_policy(
             else:
                 action = jax.random.categorical(k_act, logits, axis=-1)
             step_keys = jax.random.split(k_step, n)
-            new_env, trans = jax.vmap(lambda s, a, k: step(s, a, k, env_cfg))(
+            new_env, trans = jax.vmap(lambda s, a, k: step(s, a, k, env_cfg, bank))(
                 c.env_state, action, step_keys
             )
 
@@ -198,7 +199,7 @@ def evaluate_policy(
             if track_trajectories:
                 tracked = jnp.where(
                     active[:track_trajectories, None],
-                    env_state.pos[:track_trajectories],
+                    env_state.pos[:track_trajectories, :2],
                     jnp.nan,
                 )
             else:
@@ -209,8 +210,9 @@ def evaluate_policy(
             )
 
         carry, tracked = jax.lax.scan(body, carry, None, length=length)
+        # planimetric deviation (3-D flight keeps the horizontal success gate)
         deviation = jnp.linalg.norm(
-            carry.env_state.pos - carry.env_state.field.source, axis=-1
+            carry.env_state.pos[:, :2] - carry.env_state.field.source, axis=-1
         )
         peak_pred = (
             carry.stop_state.peak_pred
@@ -257,6 +259,7 @@ def generate_expert_data(
     key: jax.Array,
     num_episodes: int = 100,
     path: str | None = None,
+    bank=None,
 ):
     """Greedy-rollout (state, action) collection — the reference expert-data
     pipeline (PPOV1.1/generate_expert_data.py:14-61)."""
@@ -265,7 +268,7 @@ def generate_expert_data(
     reset_keys = jax.random.split(k_reset, n)
 
     def run(reset_keys, k_scan):
-        env_state, obs = jax.vmap(lambda k: reset(k, env_cfg))(reset_keys)
+        env_state, obs = jax.vmap(lambda k: reset(k, env_cfg, bank=bank))(reset_keys)
         finished = jnp.zeros(n, bool)
 
         def body(carry, _):
@@ -274,7 +277,7 @@ def generate_expert_data(
             logits, _ = apply_fn(params, obs)
             action = jnp.argmax(logits, axis=-1)
             step_keys = jax.random.split(k_step, n)
-            new_env, trans = jax.vmap(lambda s, a, k: step(s, a, k, env_cfg))(
+            new_env, trans = jax.vmap(lambda s, a, k: step(s, a, k, env_cfg, bank))(
                 env_state, action, step_keys
             )
             active = ~finished

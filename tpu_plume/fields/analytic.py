@@ -112,18 +112,26 @@ def _turbulence(field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvCon
     return cfg.turbulence_intensity * (n + wave + 0.2 * u)
 
 
-def _isotropic_base(field: FieldState, fx, fy, cfg: EnvConfig):
+def _isotropic_base(field: FieldState, fx, fy, cfg: EnvConfig, z=None):
     dx = fx - field.source[0]
     dy = fy - field.source[1]
     d2 = dx * dx + dy * dy
+    if z is not None:
+        dz = z - cfg.source_z
+        d2 = d2 + dz * dz
     return cfg.conc_peak * jnp.exp(-d2 / (2.0 * cfg.plume_sigma**2))
 
 
-def _anisotropic_base(field: FieldState, fx, fy, cfg: EnvConfig):
+def _anisotropic_base(field: FieldState, fx, fy, cfg: EnvConfig, z=None):
     """README-formula Gaussian dispersion: sigma_y = 0.3 d^0.71 crosswind
     spread growing downwind, centerline decaying by mass conservation, a
     sigma_y_min-sized kernel upwind of / around the source (README.md:97 of
-    the reference; never implemented in its code — see SURVEY.md §2.2)."""
+    the reference; never implemented in its code — see SURVEY.md §2.2).
+
+    With a ``z`` height the plume gains the standard Gaussian-dispersion
+    vertical profile exp(-(z - source_z)^2 / (2 sigma_z^2)) with
+    sigma_z = max(sigma_z_min, sigma_z_coef * downwind^sigma_z_exp) growing
+    downwind like sigma_y, and the centerline decays by both spreads."""
     rel = jnp.stack([fx - field.source[0], fy - field.source[1]], axis=-1)
     speed = jnp.linalg.norm(field.wind) + 1e-8
     u = field.wind / speed
@@ -134,16 +142,26 @@ def _anisotropic_base(field: FieldState, fx, fy, cfg: EnvConfig):
     d = jnp.maximum(downwind, 0.0)
     sigma = jnp.maximum(cfg.sigma_y_min, cfg.sigma_y_coef * d**cfg.sigma_y_exp)
     centerline = cfg.conc_peak * (cfg.sigma_y_min / sigma)
-    plume = centerline * jnp.exp(-cross2 / (2.0 * sigma**2))
+    vert = 1.0
+    blob_vert = 1.0
+    if z is not None:
+        dz = z - cfg.source_z
+        sigma_z = jnp.maximum(cfg.sigma_z_min, cfg.sigma_z_coef * d**cfg.sigma_z_exp)
+        centerline = centerline * (cfg.sigma_z_min / sigma_z)
+        vert = jnp.exp(-(dz * dz) / (2.0 * sigma_z**2))
+        blob_vert = jnp.exp(-(dz * dz) / (2.0 * cfg.sigma_z_min**2))
+    plume = centerline * jnp.exp(-cross2 / (2.0 * sigma**2)) * vert
     # upwind: compact isotropic kernel so the source itself remains findable
     r2 = rel[..., 0] ** 2 + rel[..., 1] ** 2
-    blob = cfg.conc_peak * jnp.exp(-r2 / (2.0 * cfg.sigma_y_min**2))
+    blob = cfg.conc_peak * jnp.exp(-r2 / (2.0 * cfg.sigma_y_min**2)) * blob_vert
     return jnp.where(downwind >= 0.0, jnp.maximum(plume, blob), blob)
 
 
 def sample_conc_tke(
     field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvConfig, bank=None,
     t: jnp.ndarray | None = None,
+    z: jnp.ndarray | None = None,
+    xy: jnp.ndarray | None = None,
 ):
     """Concentration and TKE at integer cell(s) (ix, iy). Broadcasts.
 
@@ -152,19 +170,27 @@ def sample_conc_tke(
     concentration is looked up from the HBM-resident bank row instead of
     evaluated analytically (turbulence stays procedural so gridded banks only
     need the mean field).
-    """
+
+    ``z`` (agent height, grid units) engages the vertical plume profile /
+    5-D bank level interpolation.  ``xy`` (float [..., 2] position) with
+    ``cfg.subcell_sampling`` switches gridded reads to sub-cell multilinear
+    interpolation — the north-star per-UAV (x, y, z, t) query; turbulence
+    stays cell-hashed either way (it models sub-grid variance)."""
     fx = ix.astype(jnp.float32)
     fy = iy.astype(jnp.float32)
     if cfg.plume_model == "gridded":
         if bank is None:
             raise ValueError('plume_model="gridded" requires a FieldBank')
-        from tpu_plume.fields.gridded import sample_bank
+        from tpu_plume.fields.gridded import sample_bank, sample_bank_points
 
-        base = sample_bank(bank, field.idx, ix, iy, t)
+        if cfg.subcell_sampling and xy is not None:
+            base = sample_bank_points(bank, field.idx, xy[..., 0], xy[..., 1], t, z)
+        else:
+            base = sample_bank(bank, field.idx, ix, iy, t, z)
     elif cfg.plume_model == "anisotropic":
-        base = _anisotropic_base(field, fx, fy, cfg)
+        base = _anisotropic_base(field, fx, fy, cfg, z)
     else:
-        base = _isotropic_base(field, fx, fy, cfg)
+        base = _isotropic_base(field, fx, fy, cfg, z)
     turb = _turbulence(field, ix, iy, cfg)
     conc = jnp.clip(base + turb, 0.0, cfg.conc_peak)
     tke = jnp.abs(turb) * 2.0 if cfg.tke_abs_times_two else turb

@@ -30,27 +30,116 @@ from tpu_plume.core.config import EnvConfig
 
 @struct.dataclass
 class FieldBank:
-    """conc is f32[K, H, W] (static fields) or f32[K, T, H, W] (time-varying
-    WRF-LES-style volumes, linearly interpolated over the frame axis at
-    ``steps_per_frame`` env steps per frame)."""
+    """A bank of K plume fields resident in HBM.
 
-    conc: jnp.ndarray     # f32[K, H, W] or f32[K, T, H, W]
-    source: jnp.ndarray   # f32[K, 2] source position per grid
+    ``conc`` layouts (all f32):
+      [K, H, W]          static 2-D fields;
+      [K, T, H, W]       time-varying 2-D fields, linearly interpolated over
+                         the frame axis at ``steps_per_frame`` env steps/frame;
+      [K, T, Z, H, W]    time-varying 3-D WRF-LES-style volumes — the z axis
+                         spans ``z_extent`` grid units and is linearly
+                         interpolated between levels (the north-star
+                         (x, y, z, t) field query, BASELINE.json).
+
+    ``wind`` is an optional per-frame horizontal wind vector bank —
+    f32[K, 2] (static) or f32[K, T, 2] (per frame, time-interpolated) — the
+    WRF-LES wind field the reference advertised but never ingested
+    (reference README.md:6-7, 50; SURVEY.md §0)."""
+
+    conc: jnp.ndarray            # f32[K,H,W] | f32[K,T,H,W] | f32[K,T,Z,H,W]
+    source: jnp.ndarray          # f32[K, 2] source position per grid
+    wind: jnp.ndarray | None = None   # f32[K, 2] | f32[K, T, 2] | None
     steps_per_frame: float = struct.field(pytree_node=False, default=1.0)
+    z_extent: float = struct.field(pytree_node=False, default=0.0)
 
 
-def sample_bank(bank: FieldBank, idx, ix, iy, t=None) -> jnp.ndarray:
-    """Cell lookup with optional linear time interpolation (broadcasts)."""
-    if bank.conc.ndim == 3:
-        return bank.conc[idx, ix, iy]
+def _frame_weights(bank: FieldBank, t, like) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(t0, ft): lower frame index + fractional weight for env step ``t``."""
     num_frames = bank.conc.shape[1]
-    tf = (jnp.zeros_like(ix, jnp.float32) if t is None
+    tf = (jnp.zeros_like(like, jnp.float32) if t is None
           else t.astype(jnp.float32)) / bank.steps_per_frame
     t0 = jnp.clip(jnp.floor(tf).astype(jnp.int32), 0, num_frames - 2)
     ft = jnp.clip(tf - t0.astype(jnp.float32), 0.0, 1.0)
-    a = bank.conc[idx, t0, ix, iy]
-    b = bank.conc[idx, t0 + 1, ix, iy]
-    return (1.0 - ft) * a + ft * b
+    return t0, ft
+
+
+def _level_weights(bank: FieldBank, z, like) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(z0, fz): lower z-level index + fractional weight for height ``z``
+    (grid units in [0, z_extent])."""
+    num_levels = bank.conc.shape[2]
+    if num_levels == 1:
+        zeros = jnp.zeros_like(like, jnp.int32)
+        return zeros, jnp.zeros_like(like, jnp.float32)
+    scale = (num_levels - 1) / max(bank.z_extent, 1e-9)
+    zf = (jnp.zeros_like(like, jnp.float32) if z is None
+          else z.astype(jnp.float32)) * scale
+    z0 = jnp.clip(jnp.floor(zf).astype(jnp.int32), 0, num_levels - 2)
+    fz = jnp.clip(zf - z0.astype(jnp.float32), 0.0, 1.0)
+    return z0, fz
+
+
+def sample_bank(bank: FieldBank, idx, ix, iy, t=None, z=None) -> jnp.ndarray:
+    """Integer-cell lookup with linear time interpolation (4-D banks) and
+    linear time+height interpolation (5-D banks).  Broadcasts."""
+    if bank.conc.ndim == 3:
+        return bank.conc[idx, ix, iy]
+    t0, ft = _frame_weights(bank, t, ix)
+    if bank.conc.ndim == 4:
+        a = bank.conc[idx, t0, ix, iy]
+        b = bank.conc[idx, t0 + 1, ix, iy]
+        return (1.0 - ft) * a + ft * b
+    z0, fz = _level_weights(bank, z, ix)
+    z1 = jnp.minimum(z0 + 1, bank.conc.shape[2] - 1)
+
+    def at(ti, zi):
+        return bank.conc[idx, ti, zi, ix, iy]
+
+    lo = (1.0 - fz) * at(t0, z0) + fz * at(t0, z1)
+    hi = (1.0 - fz) * at(t0 + 1, z0) + fz * at(t0 + 1, z1)
+    return (1.0 - ft) * lo + ft * hi
+
+
+def sample_bank_points(bank: FieldBank, idx, x, y, t=None, z=None) -> jnp.ndarray:
+    """Sub-cell multilinear sample at float points: bilinear in (x, y),
+    linear in z (5-D banks) and in t (4/5-D banks) — the per-UAV
+    (x, y, z, t) field query of the north star, as scattered XLA gathers.
+    Broadcasts over leading axes."""
+    h, w = bank.conc.shape[-2], bank.conc.shape[-1]
+    x = jnp.clip(x.astype(jnp.float32), 0.0, h - 1.0)
+    y = jnp.clip(y.astype(jnp.float32), 0.0, w - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, h - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, w - 2)
+    fx = x - x0
+    fy = y - y0
+
+    def plane(ix, iy):
+        return sample_bank(bank, idx, ix, iy, t, z)
+
+    v00 = plane(x0, y0)
+    v01 = plane(x0, y0 + 1)
+    v10 = plane(x0 + 1, y0)
+    v11 = plane(x0 + 1, y0 + 1)
+    return (v00 * (1 - fx) * (1 - fy) + v01 * (1 - fx) * fy
+            + v10 * fx * (1 - fy) + v11 * fx * fy)
+
+
+def bank_wind(bank: FieldBank, idx, t=None) -> jnp.ndarray:
+    """Per-episode horizontal wind vector, time-interpolated for per-frame
+    wind banks.  Returns f32[..., 2]; zeros when the bank carries no wind."""
+    if bank.wind is None:
+        base = jnp.zeros(jnp.shape(idx) + (2,), jnp.float32)
+        return base
+    if bank.wind.ndim == 2:
+        return bank.wind[idx]
+    num_frames = bank.wind.shape[1]
+    like = jnp.asarray(idx)
+    tf = (jnp.zeros_like(like, jnp.float32) if t is None
+          else t.astype(jnp.float32)) / bank.steps_per_frame
+    t0 = jnp.clip(jnp.floor(tf).astype(jnp.int32), 0, max(num_frames - 2, 0))
+    ft = jnp.clip(tf - t0.astype(jnp.float32), 0.0, 1.0)
+    a = bank.wind[idx, t0]
+    b = bank.wind[idx, jnp.minimum(t0 + 1, num_frames - 1)]
+    return (1.0 - ft[..., None]) * a + ft[..., None] * b
 
 
 def synthesize_bank(
@@ -116,7 +205,61 @@ def synthesize_time_varying_bank(
         return jax.vmap(lambda th: one_frame(source, th))(thetas)
 
     conc = jax.vmap(one_field)(sources, theta0, veer)
-    return FieldBank(conc=conc, source=sources, steps_per_frame=steps_per_frame)
+    thetas = theta0[:, None] + veer[:, None] * jnp.linspace(0.0, 1.0, num_frames)
+    wind = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)  # [K, T, 2]
+    return FieldBank(
+        conc=conc, source=sources, wind=wind, steps_per_frame=steps_per_frame
+    )
+
+
+def synthesize_3d_bank(
+    key: jax.Array,
+    cfg: EnvConfig,
+    num_fields: int = 4,
+    num_frames: int = 8,
+    num_levels: int = 8,
+    steps_per_frame: float = 128.0,
+    z_extent: float | None = None,
+    grid: int | None = None,
+    wind_speed: float = 2.0,
+) -> FieldBank:
+    """Synthetic time-varying 3-D volume bank [K, T, Z, H, W]: anisotropic
+    plumes with veering per-frame wind and the Gaussian-dispersion vertical
+    profile — a procedural stand-in for real WRF-LES output with the exact
+    tensor layout the ingest path produces."""
+    from tpu_plume.fields.analytic import FieldState, _anisotropic_base
+
+    g = grid or cfg.grid_size
+    ze = cfg.domain_height if z_extent is None else z_extent
+    k_src, k_wind, k_veer = jax.random.split(key, 3)
+    lo, hi = cfg.source_padding, g - cfg.source_padding
+    sources = jax.random.uniform(k_src, (num_fields, 2), jnp.float32, lo, hi)
+    theta0 = jax.random.uniform(k_wind, (num_fields,), jnp.float32, 0, 2 * jnp.pi)
+    veer = jax.random.uniform(k_veer, (num_fields,), jnp.float32, -1.0, 1.0)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1).astype(jnp.float32)
+    levels = jnp.linspace(0.0, ze, num_levels)
+
+    def one_level(source, theta, zlvl):
+        wind = wind_speed * jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+        fs = FieldState(source=source, seed=jnp.uint32(0), wind=wind, idx=jnp.int32(0))
+        return _anisotropic_base(fs, ix, iy, cfg, z=zlvl)
+
+    def one_frame(source, theta):
+        return jax.vmap(lambda zl: one_level(source, theta, zl))(levels)
+
+    def one_field(source, th0, v):
+        thetas = th0 + v * jnp.linspace(0.0, 1.0, num_frames)
+        return jax.vmap(lambda th: one_frame(source, th))(thetas)
+
+    conc = jax.vmap(one_field)(sources, theta0, veer)  # [K, T, Z, H, W]
+    thetas = theta0[:, None] + veer[:, None] * jnp.linspace(0.0, 1.0, num_frames)
+    wind = wind_speed * jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)
+    return FieldBank(
+        conc=conc, source=sources, wind=wind,
+        steps_per_frame=steps_per_frame, z_extent=ze,
+    )
 
 
 def ingest_netcdf(
@@ -124,29 +267,66 @@ def ingest_netcdf(
     conc_var: str = "concentration",
     source_x_var: str = "source_x",
     source_y_var: str = "source_y",
+    wind_u_var: str = "wind_u",
+    wind_v_var: str = "wind_v",
     scale_to_peak: float | None = None,
+    steps_per_frame: float | None = None,
+    z_extent: float | None = None,
 ) -> FieldBank:
-    """Load a bank from a NetCDF/HDF5 file: ``conc_var`` of shape [K, H, W]
-    (or [H, W], promoted to K=1) plus per-field source coordinates.  The data
-    loads once to HBM; optionally rescaled so max == ``scale_to_peak``."""
+    """Load a bank from a NetCDF/HDF5 file: ``conc_var`` of shape [K, H, W],
+    [K, T, H, W], or [K, T, Z, H, W] (leading-K-less variants are promoted to
+    K=1) plus per-field source coordinates and, if present, per-frame wind
+    components [K, T] (or [K] / [T]).  The data loads once to HBM; optionally
+    rescaled so max == ``scale_to_peak``.  ``steps_per_frame`` / ``z_extent``
+    default to the file attributes of those names (then 1.0 / num_levels-1)."""
     import h5py
 
     with h5py.File(path, "r") as f:
         conc = np.asarray(f[conc_var], np.float32)
-        if conc.ndim == 2:
+        if conc.ndim == 2:            # [H, W] -> [1, H, W]
             conc = conc[None]
         sx = np.atleast_1d(np.asarray(f[source_x_var], np.float32))
         sy = np.atleast_1d(np.asarray(f[source_y_var], np.float32))
+        wind = None
+        if wind_u_var in f and wind_v_var in f:
+            wu = np.asarray(f[wind_u_var], np.float32)
+            wv = np.asarray(f[wind_v_var], np.float32)
+            wind = np.stack([wu, wv], axis=-1)     # [K, 2] or [K, T, 2] or [T, 2]
+        attrs = dict(f.attrs)
+    k = sx.shape[0]
+    if conc.shape[0] != k and conc.ndim >= 3:
+        # file stored without the K axis ([T, H, W] / [T, Z, H, W]) — promote
+        if k == 1:
+            conc = conc[None]
+        else:
+            raise ValueError(
+                f"{k} sources for conc shape {conc.shape} in {path}"
+            )
     if scale_to_peak is not None and conc.max() > 0:
         conc = conc * (scale_to_peak / conc.max())
     source = np.stack([sx, sy], axis=-1)
-    if conc.ndim == 4 and source.shape[0] != conc.shape[0]:
-        raise ValueError("time-varying ingest needs one source per field")
     if source.shape[0] != conc.shape[0]:
         raise ValueError(
             f"{source.shape[0]} sources for {conc.shape[0]} fields in {path}"
         )
-    return FieldBank(conc=jnp.asarray(conc), source=jnp.asarray(source))
+    if wind is not None and wind.shape[0] != conc.shape[0]:
+        if conc.shape[0] == 1:
+            wind = wind[None]           # [T, 2] -> [1, T, 2]
+        else:
+            raise ValueError(f"wind shape {wind.shape} mismatches K={conc.shape[0]}")
+    if steps_per_frame is None:
+        steps_per_frame = float(attrs.get("steps_per_frame", 1.0))
+    if z_extent is None:
+        z_extent = float(
+            attrs.get("z_extent", conc.shape[2] - 1 if conc.ndim == 5 else 0.0)
+        )
+    return FieldBank(
+        conc=jnp.asarray(conc),
+        source=jnp.asarray(source),
+        wind=None if wind is None else jnp.asarray(wind),
+        steps_per_frame=steps_per_frame,
+        z_extent=z_extent,
+    )
 
 
 def export_bank_netcdf(bank: FieldBank, path: str) -> None:
@@ -159,3 +339,9 @@ def export_bank_netcdf(bank: FieldBank, path: str) -> None:
         f.create_dataset("concentration", data=conc, compression="gzip")
         f.create_dataset("source_x", data=src[:, 0])
         f.create_dataset("source_y", data=src[:, 1])
+        if bank.wind is not None:
+            wind = np.asarray(bank.wind)
+            f.create_dataset("wind_u", data=wind[..., 0])
+            f.create_dataset("wind_v", data=wind[..., 1])
+        f.attrs["steps_per_frame"] = float(bank.steps_per_frame)
+        f.attrs["z_extent"] = float(bank.z_extent)

@@ -74,6 +74,34 @@ def bilinear_onehot(field: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(rows * wy, axis=-1)
 
 
+def trilinear_zyx_xla(volume: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of ``volume`` [Z, H, W] at float points ``pts``
+    [N, 3] = (z, x, y) in index units, clamped — the spatial 3-D field query
+    (z is interpolated like x/y; for the time axis see ``trilinear_xla``)."""
+    zd, h, w = volume.shape
+    z = jnp.clip(pts[:, 0], 0.0, zd - 1.0)
+    x = jnp.clip(pts[:, 1], 0.0, h - 1.0)
+    y = jnp.clip(pts[:, 2], 0.0, w - 1.0)
+    z0 = (jnp.clip(jnp.floor(z).astype(jnp.int32), 0, zd - 2)
+          if zd > 1 else jnp.zeros_like(z, jnp.int32))
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, h - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, w - 2)
+    fz = z - z0 if zd > 1 else jnp.zeros_like(z)
+    fx = x - x0
+    fy = y - y0
+    z1 = jnp.minimum(z0 + 1, zd - 1)
+
+    def plane(zi):
+        v00 = volume[zi, x0, y0]
+        v01 = volume[zi, x0, y0 + 1]
+        v10 = volume[zi, x0 + 1, y0]
+        v11 = volume[zi, x0 + 1, y0 + 1]
+        return (v00 * (1 - fx) * (1 - fy) + v01 * (1 - fx) * fy
+                + v10 * fx * (1 - fy) + v11 * fx * fy)
+
+    return plane(z0) * (1 - fz) + plane(z1) * fz
+
+
 def trilinear_xla(volume: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Trilinear sample of ``volume`` [T, H, W] at float points ``pts``
     [N, 3] = (t, x, y), clamped — the time-varying WRF-LES field query."""

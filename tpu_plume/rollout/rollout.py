@@ -137,7 +137,9 @@ def rollout_chunk(
     # sampling (argmax(logits + gumbel) == Categorical sample), and reset
     # keys for episode-boundary field redraws.
     key, k_turb, k_gumbel, k_src, k_wind, k_bits = jax.random.split(carry.key, 6)
-    turb_noise = jax.random.normal(k_turb, (length, num_envs, 2), jnp.float32)
+    turb_noise = jax.random.normal(
+        k_turb, (length, num_envs, cfg.pos_dim), jnp.float32
+    )
     if greedy:
         gumbel = jnp.zeros((length, num_envs, 1), jnp.float32)
     else:

@@ -237,10 +237,12 @@ def train_ppo(
     profile_steps: int = 0,
     snapshot_every: int | None = None,
     init_params=None,
+    bank=None,
 ) -> TrainResult:
     """Train until ``cfg.total_episodes`` episodes complete (or
     ``max_iterations`` train steps).  ``init_params`` warm-starts the policy
-    (fine-tuning; optimizer state starts fresh)."""
+    (fine-tuning; optimizer state starts fresh).  ``bank`` is the
+    HBM-resident FieldBank for ``plume_model="gridded"`` configs."""
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.PRNGKey(cfg.seed)
     k_model, k_roll, k_loop = jax.random.split(key, 3)
@@ -253,9 +255,10 @@ def train_ppo(
         k_roll, cfg.env, cfg.rollout.num_envs,
         radius=cfg.curriculum.initial_radius,
         explore_bonus=cfg.env.explore_bonus_init,
+        bank=bank,
     )
     loop = LoopCarry(train_state=train_state, rollout=rollout, curriculum=curriculum, key=k_loop)
-    train_step = build_train_step(cfg)
+    train_step = build_train_step(cfg, bank=bank)
 
     csv_logger = EpisodeCSVLogger(os.path.join(out_dir, "training_results.csv")) if write_csv else None
     train_logger = TrainLogger(out_dir, use_tensorboard)
