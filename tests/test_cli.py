@@ -64,3 +64,73 @@ def test_cli_expert(tmp_path, capsys):
     ])
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["samples"] > 0 and os.path.exists(expert)
+
+
+def test_cli_train_gail(tmp_path, capsys):
+    out_dir = str(tmp_path / "run")
+    main([
+        "train", "--preset", "ppo_v1_1", "--out", out_dir,
+        "--envs", "8", "--unroll", "8", "--minibatch", "32", "--iterations", "1",
+        "--episodes", "100000",
+    ])
+    capsys.readouterr()
+    expert = str(tmp_path / "expert_data.npz")
+    main([
+        "expert", "--preset", "ppo_v1_1", "--ckpt", os.path.join(out_dir, "checkpoint"),
+        "--episodes", "3", "--out", expert,
+    ])
+    capsys.readouterr()
+    main([
+        "train-gail", "--preset", "ppo_v1_1", "--expert", expert,
+        "--out", str(tmp_path / "gail"), "--closed-loop",
+        "--envs", "8", "--unroll", "8", "--minibatch", "32", "--iterations", "2",
+        "--episodes", "100000",
+    ])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "episodes" in payload
+    assert os.path.isdir(os.path.join(tmp_path, "gail", "checkpoint"))
+
+
+def test_cli_train_lstm_and_plot(tmp_path, capsys):
+    from tpu_plume.data import NetCDFWriter
+
+    nc = str(tmp_path / "training_data.nc")
+    rng = np.random.default_rng(0)
+    w = NetCDFWriter(nc, grid_size=500, max_episodes=8, max_steps=40)
+    for ep in range(8):
+        n = int(rng.integers(25, 40))
+        conc = np.linspace(5, 90, n) + rng.normal(0, 1, n)
+        w.write_episode_data(
+            ep, n, rng.uniform(0, 499, n), rng.uniform(0, 499, n),
+            conc, 250.0, 250.0, float(conc.max()),
+        )
+    w.close()
+
+    main(["train-lstm", "--variant", "threshold", "--nc", nc,
+          "--out", str(tmp_path / "lstm"), "--epochs", "2"])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(payload["final_loss"])
+
+    main(["train-lstm", "--variant", "peakstop", "--nc", nc,
+          "--out", str(tmp_path / "ps"), "--epochs", "2"])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(payload["best_loss"])
+
+    # plot: field PNG from the NC + curves from a training CSV
+    png = str(tmp_path / "field.png")
+    main(["plot", "--what", "field", "--nc", nc, "--episode", "0", "--out", png])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(payload["saved"])
+
+
+def test_cli_gridded_bank_train(tmp_path, capsys):
+    out_dir = str(tmp_path / "grun")
+    main([
+        "train", "--preset", "ppo_v2_0", "--plume-model", "gridded",
+        "--synth-bank", "time", "--bank-fields", "2", "--bank-frames", "3",
+        "--bank-spf", "8",
+        "--out", out_dir, "--envs", "8", "--unroll", "8", "--minibatch", "32",
+        "--iterations", "1", "--episodes", "100000",
+    ])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["env_steps"] == 64

@@ -200,3 +200,42 @@ def test_curriculum_simple_variant():
     # low success rate never expands
     st = curriculum_update(st, jnp.int32(0), jnp.int32(120), cfg)
     np.testing.assert_allclose(float(st.radius), 45.0, rtol=1e-6)
+
+
+def test_curriculum_large_batch_multi_fire():
+    """At 4096-env scale one iteration completes many windows' worth of
+    episodes (VERDICT r1 weak #3): the controller must fire once per
+    completed window — count // window_size times — not once per call,
+    preserving the reference's per-120-episode decay cadence
+    (PPOV1.1/model.py:121-164)."""
+    cfg = CurriculumConfig(window_size=120)
+    st = curriculum_init(cfg, 0.6)
+    # 900 episodes at 80% success in ONE call = 7 windows + remainder 60
+    st_big = curriculum_update(st, jnp.int32(720), jnp.int32(900), cfg)
+    assert int(st_big.num_updates) == 7
+    assert int(st_big.episode_count) == 900 - 7 * 120
+    # remainder successes are proportional
+    assert int(st_big.success_count) == round(0.8 * 60)
+
+    # serial equivalence: 7 window-exact calls at the same rate
+    st_serial = curriculum_init(cfg, 0.6)
+    for _ in range(7):
+        st_serial = curriculum_update(st_serial, jnp.int32(96), jnp.int32(120), cfg)
+    np.testing.assert_allclose(
+        float(st_big.radius), float(st_serial.radius), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(st_big.explore_bonus), float(st_serial.explore_bonus), rtol=1e-6
+    )
+    # monotone progression vs the old single-fire behavior
+    st_single = curriculum_update(st, jnp.int32(96), jnp.int32(120), cfg)
+    assert float(st_big.radius) < float(st_single.radius)
+
+
+def test_curriculum_simple_large_batch():
+    cfg = CurriculumConfig(variant="simple", window_size=100, radius_decay=0.9)
+    st = curriculum_init(cfg, 0.6)
+    st2 = curriculum_update(st, jnp.int32(280), jnp.int32(350), cfg)  # 3 windows
+    np.testing.assert_allclose(float(st2.radius), 50.0 * 0.9**3, rtol=1e-6)
+    assert int(st2.episode_count) == 50
+    assert int(st2.num_updates) == 3

@@ -42,6 +42,10 @@ def _load_params(args, cfg):
 
 
 def _apply_overrides(cfg, args):
+    if getattr(args, "plume_model", None):
+        cfg = cfg.replace(
+            env=dataclasses.replace(cfg.env, plume_model=args.plume_model)
+        )
     rollout = cfg.rollout
     if args.envs:
         rollout = dataclasses.replace(rollout, num_envs=args.envs)
@@ -279,6 +283,9 @@ def build_parser():
     def common(sp, out_default=None):
         sp.add_argument("--preset", default="ppo_v2_0")
         sp.add_argument("--out", default=out_default)
+        sp.add_argument("--plume-model",
+                        choices=["isotropic", "anisotropic", "gridded"],
+                        help="override the preset's plume model")
         sp.add_argument("--bank", help="WRF-LES NetCDF field bank to ingest "
                         "(plume_model=gridded)")
         sp.add_argument("--synth-bank", choices=["static", "time", "3d"],

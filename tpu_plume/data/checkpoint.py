@@ -32,16 +32,26 @@ def save_checkpoint(path: str, tree: Any) -> None:
 
 
 def restore_checkpoint(path: str, target: Any | None = None) -> Any:
-    """Restore a bundle; ``target`` (a matching pytree of arrays) restores
-    with original structure/dtypes, otherwise a raw dict is returned."""
+    """Restore a bundle with guaranteed dtypes/shapes.
+
+    ``target`` (a matching pytree of arrays) supplies the abstract template
+    explicitly; without one, the template is built from the checkpoint's own
+    saved metadata (shape + dtype per leaf) — a typed restore either way, no
+    raw-dict UNSAFE fallback."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if target is None:
-        return ckptr.restore(path)
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), target
-    )
-    restored = ckptr.restore(path, abstract)
-    return restored
+        meta = ckptr.metadata(path).item_metadata.tree
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+            meta,
+            is_leaf=lambda m: hasattr(m, "dtype") and hasattr(m, "shape"),
+        )
+    else:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            target,
+        )
+    return ckptr.restore(path, abstract)

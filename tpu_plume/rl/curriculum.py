@@ -10,14 +10,20 @@ to +-5, and the window resets.
 
 Batched TPU form: with N vmapped envs completing episodes asynchronously
 there is no serial episode order, so the window is an accumulator of
-(successes, episodes) counts; one update fires per training iteration once
-the count reaches the window size, matching the serial semantics in
-expectation (SURVEY.md §7 "hard parts").  The whole transition is jnp
-``where``-arithmetic — jit-safe, carried in the training loop.
+(successes, episodes) counts, matching the serial semantics in expectation
+(SURVEY.md §7 "hard parts").  At large batch sizes a single train iteration
+can complete many windows' worth of episodes (4096 envs x 128 steps finishes
+~900 episodes vs window_size=120), so the transition fires
+``count // window_size`` times per call — each sub-window at the aggregate
+rate — rather than once, preserving the reference's *per-120-episode* decay
+cadence; the remainder (with proportional successes) carries into the next
+window.  The whole transition is jnp arithmetic + a ``fori_loop`` over the
+fire count — jit-safe, carried in the training loop.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -53,42 +59,54 @@ def curriculum_update(
         return _curriculum_update_simple(state, new_successes, new_episodes, cfg)
     succ = state.success_count + new_successes.astype(jnp.int32)
     count = state.episode_count + new_episodes.astype(jnp.int32)
-    fire = count >= cfg.window_size
     rate = succ.astype(jnp.float32) / jnp.maximum(count.astype(jnp.float32), 1.0)
+    # One fire per completed window (count // window_size, not a single fire):
+    # at 4096-env scale an iteration completes many windows — see module doc.
+    n_fires = count // cfg.window_size
 
-    # (a) exploration-bonus decay (model.py:139-144).
-    decayed_bonus = jnp.maximum(
-        state.explore_bonus * cfg.explore_decay_factor ** (1.0 + rate),
-        cfg.explore_bonus_floor,
-    )
+    def one_fire(_, carry):
+        radius, bonus = carry
+        # (a) exploration-bonus decay (model.py:139-144).
+        bonus = jnp.maximum(
+            bonus * cfg.explore_decay_factor ** (1.0 + rate),
+            cfg.explore_bonus_floor,
+        )
+        # (b) radius shrink / expand (model.py:146-157).
+        shrink = radius * cfg.radius_decay ** (
+            2.0 + 3.0 * (rate - cfg.success_threshold)
+        )
+        shrunk = jnp.maximum(cfg.min_radius, shrink)
+        expanded = jnp.minimum(cfg.initial_radius, radius * cfg.expand_rate)
+        new_radius = jnp.where(
+            rate > cfg.success_threshold,
+            shrunk,
+            jnp.where(rate < cfg.expand_below, expanded, radius),
+        )
+        # (c) anti-oscillation clamp vs the radius the window ran at
+        # (model.py:159-161).
+        delta = new_radius - radius
+        clamped = jnp.where(
+            jnp.abs(delta) > cfg.anti_oscillation_clamp,
+            radius + cfg.anti_oscillation_clamp * jnp.sign(delta),
+            new_radius,
+        )
+        return clamped, bonus
 
-    # (b) radius shrink / expand (model.py:146-157).
-    shrink = state.radius * cfg.radius_decay ** (
-        2.0 + 3.0 * (rate - cfg.success_threshold)
+    radius, bonus = jax.lax.fori_loop(
+        0, n_fires, one_fire, (state.radius, state.explore_bonus)
     )
-    shrunk = jnp.maximum(cfg.min_radius, shrink)
-    expanded = jnp.minimum(cfg.initial_radius, state.radius * cfg.expand_rate)
-    new_radius = jnp.where(
-        rate > cfg.success_threshold,
-        shrunk,
-        jnp.where(rate < cfg.expand_below, expanded, state.radius),
-    )
-
-    # (c) anti-oscillation clamp vs the radius the window ran at
-    # (model.py:159-161).
-    delta = new_radius - state.radius
-    clamped = jnp.where(
-        jnp.abs(delta) > cfg.anti_oscillation_clamp,
-        state.radius + cfg.anti_oscillation_clamp * jnp.sign(delta),
-        new_radius,
-    )
+    # Remainder window carries over with proportional successes.
+    rem_count = count - n_fires * cfg.window_size
+    rem_succ = jnp.round(
+        rate * rem_count.astype(jnp.float32)
+    ).astype(jnp.int32)
 
     return CurriculumState(
-        radius=jnp.where(fire, clamped, state.radius),
-        explore_bonus=jnp.where(fire, decayed_bonus, state.explore_bonus),
-        success_count=jnp.where(fire, 0, succ),
-        episode_count=jnp.where(fire, 0, count),
-        num_updates=state.num_updates + fire.astype(jnp.int32),
+        radius=radius,
+        explore_bonus=bonus,
+        success_count=jnp.where(n_fires > 0, rem_succ, succ),
+        episode_count=jnp.where(n_fires > 0, rem_count, count),
+        num_updates=state.num_updates + n_fires,
     )
 
 
@@ -103,7 +121,7 @@ def _curriculum_update_simple(
     RADIUS_DECAY when the window's success rate exceeds the threshold."""
     succ = state.success_count + new_successes.astype(jnp.int32)
     count = state.episode_count + new_episodes.astype(jnp.int32)
-    fire = count >= cfg.window_size
+    n_fires = count // cfg.window_size
     rate = succ.astype(jnp.float32) / jnp.maximum(count.astype(jnp.float32), 1.0)
 
     bonus = jnp.maximum(
@@ -111,16 +129,17 @@ def _curriculum_update_simple(
         * cfg.explore_decay_factor ** new_episodes.astype(jnp.float32),
         cfg.explore_bonus_floor,
     )
-    shrink = fire & (rate > cfg.success_threshold)
-    new_radius = jnp.where(
-        shrink,
-        jnp.maximum(cfg.min_radius, state.radius * cfg.radius_decay),
-        state.radius,
+    shrinks = jnp.where(rate > cfg.success_threshold, n_fires, 0)
+    new_radius = jnp.maximum(
+        cfg.min_radius,
+        state.radius * cfg.radius_decay ** shrinks.astype(jnp.float32),
     )
+    rem_count = count - n_fires * cfg.window_size
+    rem_succ = jnp.round(rate * rem_count.astype(jnp.float32)).astype(jnp.int32)
     return CurriculumState(
         radius=new_radius,
         explore_bonus=bonus,
-        success_count=jnp.where(fire, 0, succ),
-        episode_count=jnp.where(fire, 0, count),
-        num_updates=state.num_updates + shrink.astype(jnp.int32),
+        success_count=jnp.where(n_fires > 0, rem_succ, succ),
+        episode_count=jnp.where(n_fires > 0, rem_count, count),
+        num_updates=state.num_updates + shrinks,
     )
