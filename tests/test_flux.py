@@ -1,0 +1,99 @@
+"""Multi-source plumes + flux inversion (reference README.md:18 goal —
+<20% flux error — absent from the reference's code; SURVEY.md §6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_plume.core.config import EnvConfig
+from tpu_plume.env import methane
+from tpu_plume.evaluation.flux import (
+    design_matrix,
+    flux_inversion_study,
+    invert_fluxes,
+)
+from tpu_plume.fields.analytic import (
+    FieldState,
+    all_sources,
+    new_field,
+    sample_conc_tke,
+    source_strengths,
+)
+
+
+def _field(seed=7):
+    return FieldState(
+        source=jnp.array([120.0, 300.0]), seed=jnp.uint32(seed),
+        wind=jnp.array([1.5, 0.5]), idx=jnp.int32(0),
+    )
+
+
+def test_extra_sources_deterministic_and_in_bounds():
+    cfg = EnvConfig(num_sources=4)
+    f = _field()
+    srcs = np.asarray(all_sources(f, cfg))
+    assert srcs.shape == (4, 2)
+    np.testing.assert_allclose(srcs[0], [120.0, 300.0])
+    assert (srcs >= cfg.source_padding).all()
+    assert (srcs <= cfg.grid_size - cfg.source_padding).all()
+    # pure function of the seed
+    np.testing.assert_array_equal(srcs, np.asarray(all_sources(f, cfg)))
+    srcs2 = np.asarray(all_sources(f.replace(seed=jnp.uint32(8)), cfg))
+    assert not np.allclose(srcs[1:], srcs2[1:])
+
+    qs = np.asarray(source_strengths(f, cfg))
+    assert qs[0] == 1.0
+    lo, hi = cfg.source_strength_range
+    assert ((qs[1:] >= lo) & (qs[1:] <= hi)).all()
+
+
+def test_multi_source_field_superposes():
+    cfg1 = EnvConfig(num_sources=1, turbulence_intensity=0.0)
+    cfg3 = EnvConfig(num_sources=3, turbulence_intensity=0.0)
+    f = _field()
+    srcs = np.asarray(all_sources(f, cfg3))
+    # at a far extra source's location, the 3-source field sees signal the
+    # single-source field doesn't
+    ix = jnp.int32(int(srcs[2][0]))
+    iy = jnp.int32(int(srcs[2][1]))
+    c1, _ = sample_conc_tke(f, ix, iy, cfg1)
+    c3, _ = sample_conc_tke(f, ix, iy, cfg3)
+    if np.linalg.norm(srcs[2] - srcs[0]) > 6 * cfg3.plume_sigma:
+        assert float(c3) > float(c1) + 10.0
+
+
+def test_env_success_gates_on_nearest_source():
+    cfg = EnvConfig(num_sources=3, turbulence_intensity=1e-6)
+    state, _ = methane.reset(jax.random.PRNGKey(0), cfg)
+    srcs = np.asarray(all_sources(state.field, cfg))
+    # teleport next to extra source #1
+    state = state.replace(
+        pos=jnp.asarray(srcs[1], jnp.float32), radius=jnp.float32(30.0)
+    )
+    _, tr = methane.step_noise(state, jnp.int32(0), jnp.zeros(2, jnp.float32), cfg)
+    assert bool(tr.info.reached)
+    assert float(tr.info.distance) < 30.0
+
+
+def test_invert_fluxes_exact_on_clean_samples():
+    """Noise-free samples from the kernel model invert to the true q."""
+    cfg = EnvConfig(num_sources=3, turbulence_intensity=0.0)
+    f = _field(3)
+    srcs = all_sources(f, cfg)
+    q_true = source_strengths(f, cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(0, 499, (600, 2)), jnp.float32)
+    a = design_matrix(pts, srcs, f.wind, cfg)
+    concs = a @ q_true
+    q = invert_fluxes(pts, concs, srcs, f.wind, cfg)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_true), rtol=1e-3)
+
+
+def test_flux_study_meets_20pct_goal():
+    cfg = EnvConfig(num_sources=3, max_steps=10000)
+    out = flux_inversion_study(
+        cfg, jax.random.PRNGKey(0), num_episodes=32, num_steps=400
+    )
+    assert out["observed_frac"] > 0.3
+    assert out["mean_rel_error"] < 0.2, out
+    assert out["within_20pct"] > 0.7, out

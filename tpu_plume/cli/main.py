@@ -270,6 +270,31 @@ def cmd_plot(args):
     print(json.dumps({"saved": path}))
 
 
+def cmd_flux(args):
+    import dataclasses
+
+    import jax
+
+    from tpu_plume.core import get_preset
+    from tpu_plume.evaluation import flux_inversion_study
+
+    cfg = get_preset(args.preset)
+    env = dataclasses.replace(
+        cfg.env, num_sources=args.sources,
+        plume_model=args.plume_model or cfg.env.plume_model,
+    )
+    policy = params = None
+    if args.ckpt or args.pth:
+        model, params = _load_params(args, cfg)
+        policy = model.apply
+    out = flux_inversion_study(
+        env, jax.random.PRNGKey(args.seed or 0),
+        num_episodes=args.episodes or 64, num_steps=args.steps,
+        policy=policy, params=params,
+    )
+    print(json.dumps(out))
+
+
 def cmd_inspect_nc(args):
     from tpu_plume.data.netcdf import describe_nc
 
@@ -351,6 +376,15 @@ def build_parser():
     sp = sub.add_parser("expert", help="generate expert demonstrations")
     common(sp, "expert_data.npz")
     sp.set_defaults(fn=cmd_expert)
+
+    sp = sub.add_parser(
+        "flux", help="flux-inversion study (README <20%% error goal)"
+    )
+    common(sp, None)
+    sp.add_argument("--sources", type=int, default=3)
+    sp.add_argument("--steps", type=int, default=400,
+                    help="survey steps per episode")
+    sp.set_defaults(fn=cmd_flux)
 
     sp = sub.add_parser("inspect-nc", help="dump NetCDF dataset schema")
     sp.add_argument("path")

@@ -73,6 +73,16 @@ class EnvConfig:
     # per-frame wind (FieldBank.wind); the analytic models use the episode
     # wind vector.
     wind_advect_coef: float = 0.0
+
+    # --- Multi-source plumes (reference README.md:18 goal — flux inversion
+    # <20% error — with no code anywhere in the reference).  With
+    # num_sources > 1 the analytic field is a strength-weighted superposition
+    # of kernels; extra source positions/strengths derive from the episode
+    # seed (fields.analytic.all_sources / source_strengths) and success
+    # gates on the NEAREST source.  See evaluation/flux.py for the
+    # flux-inversion estimator.
+    num_sources: int = 1
+    source_strength_range: tuple = (0.5, 1.5)
     # V1.0 uses signed randn for the turbulence normal term and
     # tke_field = |turbulence| * 2 (PPOV1.0/ppo0.0.py:108-114); V1.1+ uses
     # |randn| and tke_field = turbulence (PPOV1.1/environment.py:56-62).

@@ -311,8 +311,15 @@ def step_noise(
     # Terminal bonus within the curriculum radius (V1.1 lines 147-151:
     # min(500, 150*R0/R); V1.0: uncapped 100*R0/R, ppo0.0.py:186-187).
     # Success is a horizontal gate (the source is a ground (x, y) point; the
-    # reference's deviation metric is planimetric).
-    distance = jnp.linalg.norm(new_pos[:2] - state.field.source)
+    # reference's deviation metric is planimetric).  Multi-source fields
+    # gate on the NEAREST source.
+    if cfg.num_sources > 1:
+        from tpu_plume.fields.analytic import all_sources
+
+        srcs = all_sources(state.field, cfg)
+        distance = jnp.min(jnp.linalg.norm(new_pos[None, :2] - srcs, axis=-1))
+    else:
+        distance = jnp.linalg.norm(new_pos[:2] - state.field.source)
     reached = distance <= state.radius
     if cfg.reward_variant == "v1_0":
         terminal_bonus = 100.0 * (cfg.initial_radius / state.radius)

@@ -1,3 +1,8 @@
+from tpu_plume.evaluation.flux import (
+    flux_inversion_study,
+    invert_fluxes,
+    source_observability,
+)
 from tpu_plume.evaluation.harnesses import (
     EvalMetrics,
     evaluate_policy,
@@ -11,9 +16,12 @@ from tpu_plume.evaluation.harnesses import (
 __all__ = [
     "EvalMetrics",
     "evaluate_policy",
+    "flux_inversion_study",
     "generate_expert_data",
+    "invert_fluxes",
     "make_heuristic_gate",
     "make_peak_stop_gate",
     "make_threshold_gate",
+    "source_observability",
     "summarize",
 ]

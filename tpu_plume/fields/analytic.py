@@ -29,6 +29,7 @@ from tpu_plume.core.config import EnvConfig
 # Salt namespaces for the per-cell hash draws.
 _SALT_NORMAL = 0   # uses 0 and 1 (Box-Muller needs two uniforms)
 _SALT_UNIFORM = 2
+_SALT_SRC = 3      # uses 3, 4, 5 (multi-source positions + strengths)
 
 
 @struct.dataclass
@@ -101,6 +102,49 @@ def new_field_from_draws(
     return FieldState(source=source, seed=bits, wind=wind, idx=idx)
 
 
+def extra_sources(field: FieldState, cfg: EnvConfig) -> jnp.ndarray:
+    """Positions of sources 1..S-1 for multi-source fields, derived purely
+    from the episode seed (no state-shape change; the primary source stays
+    ``field.source``).  Returns f32[S-1, 2]; empty when num_sources == 1.
+
+    Multi-source localization + flux inversion is the reference README's
+    stated goal (<20% flux error, README.md:18) with no code anywhere in the
+    reference — a new capability here (see evaluation/flux.py)."""
+    s = cfg.num_sources - 1
+    lo = cfg.source_padding
+    hi = cfg.grid_size - cfg.source_padding
+    ids = jnp.arange(1, s + 1, dtype=jnp.int32)
+    ux = prng.bits_to_uniform(
+        prng.hash_cell(field.seed, ids, jnp.zeros_like(ids), _SALT_SRC)
+    )
+    uy = prng.bits_to_uniform(
+        prng.hash_cell(field.seed, jnp.zeros_like(ids), ids, _SALT_SRC + 1)
+    )
+    return lo + (hi - lo) * jnp.stack([ux, uy], axis=-1)
+
+
+def all_sources(field: FieldState, cfg: EnvConfig) -> jnp.ndarray:
+    """f32[S, 2]: the primary source plus the seed-derived extras."""
+    if cfg.num_sources == 1:
+        return field.source[None]
+    return jnp.concatenate([field.source[None], extra_sources(field, cfg)])
+
+
+def source_strengths(field: FieldState, cfg: EnvConfig) -> jnp.ndarray:
+    """f32[S] per-source emission strengths (peak multipliers) in
+    ``source_strength_range``, seed-derived; the primary source always emits
+    at 1.0 so single-source semantics are unchanged."""
+    s = cfg.num_sources
+    if s == 1:
+        return jnp.ones(1, jnp.float32)
+    ids = jnp.arange(1, s, dtype=jnp.int32)
+    u = prng.bits_to_uniform(
+        prng.hash_cell(field.seed, ids, ids, _SALT_SRC + 2)
+    )
+    lo, hi = cfg.source_strength_range
+    return jnp.concatenate([jnp.ones(1), lo + (hi - lo) * u])
+
+
 def _turbulence(field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvConfig) -> jnp.ndarray:
     n = prng.cell_normal(field.seed, ix, iy, _SALT_NORMAL)
     if not cfg.turbulence_signed_normal:
@@ -112,14 +156,25 @@ def _turbulence(field: FieldState, ix: jnp.ndarray, iy: jnp.ndarray, cfg: EnvCon
     return cfg.turbulence_intensity * (n + wave + 0.2 * u)
 
 
-def _isotropic_base(field: FieldState, fx, fy, cfg: EnvConfig, z=None):
-    dx = fx - field.source[0]
-    dy = fy - field.source[1]
+def _iso_kernel(source, fx, fy, cfg: EnvConfig, z=None):
+    dx = fx - source[0]
+    dy = fy - source[1]
     d2 = dx * dx + dy * dy
     if z is not None:
         dz = z - cfg.source_z
         d2 = d2 + dz * dz
     return cfg.conc_peak * jnp.exp(-d2 / (2.0 * cfg.plume_sigma**2))
+
+
+def _isotropic_base(field: FieldState, fx, fy, cfg: EnvConfig, z=None):
+    if cfg.num_sources == 1:
+        return _iso_kernel(field.source, fx, fy, cfg, z)
+    srcs = all_sources(field, cfg)
+    qs = source_strengths(field, cfg)
+    total = 0.0
+    for s in range(cfg.num_sources):  # static, small S — fully fused
+        total = total + qs[s] * _iso_kernel(srcs[s], fx, fy, cfg, z)
+    return jnp.minimum(total, cfg.conc_peak)
 
 
 def _anisotropic_base(field: FieldState, fx, fy, cfg: EnvConfig, z=None):
@@ -132,9 +187,20 @@ def _anisotropic_base(field: FieldState, fx, fy, cfg: EnvConfig, z=None):
     vertical profile exp(-(z - source_z)^2 / (2 sigma_z^2)) with
     sigma_z = max(sigma_z_min, sigma_z_coef * downwind^sigma_z_exp) growing
     downwind like sigma_y, and the centerline decays by both spreads."""
-    rel = jnp.stack([fx - field.source[0], fy - field.source[1]], axis=-1)
-    speed = jnp.linalg.norm(field.wind) + 1e-8
-    u = field.wind / speed
+    if cfg.num_sources > 1:
+        srcs = all_sources(field, cfg)
+        qs = source_strengths(field, cfg)
+        total = 0.0
+        for s in range(cfg.num_sources):
+            total = total + qs[s] * _aniso_kernel(srcs[s], field.wind, fx, fy, cfg, z)
+        return jnp.minimum(total, cfg.conc_peak)
+    return _aniso_kernel(field.source, field.wind, fx, fy, cfg, z)
+
+
+def _aniso_kernel(source, wind, fx, fy, cfg: EnvConfig, z=None):
+    rel = jnp.stack([fx - source[0], fy - source[1]], axis=-1)
+    speed = jnp.linalg.norm(wind) + 1e-8
+    u = wind / speed
     downwind = rel[..., 0] * u[0] + rel[..., 1] * u[1]
     cross2 = jnp.maximum(
         rel[..., 0] ** 2 + rel[..., 1] ** 2 - downwind**2, 0.0
