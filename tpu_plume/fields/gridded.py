@@ -80,37 +80,22 @@ def _level_weights(bank: FieldBank, z, like) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def sample_bank(bank: FieldBank, idx, ix, iy, t=None, z=None) -> jnp.ndarray:
     """Integer-cell lookup with linear time interpolation (4-D banks) and
-    linear time+height interpolation (5-D banks).  Broadcasts; scalar
-    queries (the vmapped-env hot path) fetch the (t, z) corner values with
-    one sliced gather instead of 2-4 scattered ones."""
+    linear time+height interpolation (5-D banks).  Broadcasts.
+
+    The corner reads are scattered fancy-index gathers on purpose: a
+    patch-fetch via vmapped ``dynamic_slice`` (one sliced gather per query)
+    measured 7x SLOWER end-to-end on a v5e (0.20M vs 1.38M env-steps/s at
+    4096 envs) — XLA's scalar-result gather batches across the env axis far
+    better than its sliced form."""
     if bank.conc.ndim == 3:
         return bank.conc[idx, ix, iy]
-    scalar = (
-        jnp.ndim(idx) == 0 and jnp.ndim(ix) == 0 and jnp.ndim(iy) == 0
-        and (t is None or jnp.ndim(t) == 0) and (z is None or jnp.ndim(z) == 0)
-    )
     t0, ft = _frame_weights(bank, t, jnp.asarray(ix))
-    wt = jnp.stack([1.0 - ft, ft])
     if bank.conc.ndim == 4:
-        if scalar:
-            patch = jax.lax.dynamic_slice(
-                bank.conc, (idx, t0, ix, iy), (1, 2, 1, 1)
-            )[0, :, 0, 0]
-            return jnp.einsum("t,t->", patch, wt)
         a = bank.conc[idx, t0, ix, iy]
         b = bank.conc[idx, t0 + 1, ix, iy]
         return (1.0 - ft) * a + ft * b
     z0, fz = _level_weights(bank, z, jnp.asarray(ix))
-    zd = bank.conc.shape[2]
-    if scalar:
-        z0c = jnp.minimum(z0, max(zd - 2, 0))
-        zs = 2 if zd > 1 else 1
-        wz = (jnp.stack([1.0 - fz, fz]) if zd > 1 else jnp.ones(1))
-        patch = jax.lax.dynamic_slice(
-            bank.conc, (idx, t0, z0c, ix, iy), (1, 2, zs, 1, 1)
-        )[0, :, :, 0, 0]
-        return jnp.einsum("tz,t,z->", patch, wt, wz)
-    z1 = jnp.minimum(z0 + 1, zd - 1)
+    z1 = jnp.minimum(z0 + 1, bank.conc.shape[2] - 1)
 
     def at(ti, zi):
         return bank.conc[idx, ti, zi, ix, iy]
@@ -120,66 +105,29 @@ def sample_bank(bank: FieldBank, idx, ix, iy, t=None, z=None) -> jnp.ndarray:
     return (1.0 - ft) * lo + ft * hi
 
 
-def _axis01(frac: jnp.ndarray) -> jnp.ndarray:
-    """[2] weights (1-f, f) for one interpolation axis."""
-    return jnp.stack([1.0 - frac, frac])
-
-
-def _sample_point_scalar(bank: FieldBank, idx, x, y, t, z) -> jnp.ndarray:
-    """Scalar-query multilinear sample: ONE sliced gather of the query's
-    2x2(x2x2) corner patch (``dynamic_slice`` — under the env's vmap this
-    lowers to a single XLA gather with slice sizes, ~16x fewer scattered
-    reads than per-corner gathers; measured 1.4M -> see RESULTS.md), then a
-    tiny weight contraction on the VPU."""
-    conc = bank.conc
-    h, w = conc.shape[-2], conc.shape[-1]
+def sample_bank_points(bank: FieldBank, idx, x, y, t=None, z=None) -> jnp.ndarray:
+    """Sub-cell multilinear sample at float points: bilinear in (x, y),
+    linear in z (5-D banks) and in t (4/5-D banks) — the per-UAV
+    (x, y, z, t) field query of the north star, as scattered XLA gathers
+    (the measured-fastest formulation; see ``sample_bank``).  Broadcasts
+    over leading axes."""
+    h, w = bank.conc.shape[-2], bank.conc.shape[-1]
     x = jnp.clip(jnp.asarray(x, jnp.float32), 0.0, h - 1.0)
     y = jnp.clip(jnp.asarray(y, jnp.float32), 0.0, w - 1.0)
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, h - 2)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, w - 2)
-    wx = _axis01(x - x0)
-    wy = _axis01(y - y0)
+    fx = x - x0
+    fy = y - y0
 
-    if conc.ndim == 3:
-        patch = jax.lax.dynamic_slice(conc, (idx, x0, y0), (1, 2, 2))[0]
-        return jnp.einsum("xy,x,y->", patch, wx, wy)
+    def plane(ix, iy):
+        return sample_bank(bank, idx, ix, iy, t, z)
 
-    like = jnp.zeros((), jnp.float32)
-    t0, ft = _frame_weights(bank, t, like)
-    wt = _axis01(ft)
-    if conc.ndim == 4:
-        patch = jax.lax.dynamic_slice(conc, (idx, t0, x0, y0), (1, 2, 2, 2))[0]
-        return jnp.einsum("txy,t,x,y->", patch, wt, wx, wy)
-
-    z0, fz = _level_weights(bank, z, like)
-    zd = conc.shape[2]
-    z0 = jnp.minimum(z0, max(zd - 2, 0))
-    wz = _axis01(fz) if zd > 1 else jnp.array([1.0, 0.0])
-    zs = 2 if zd > 1 else 1
-    patch = jax.lax.dynamic_slice(
-        conc, (idx, t0, z0, x0, y0), (1, 2, zs, 2, 2)
-    )[0]
-    return jnp.einsum("tzxy,t,z,x,y->", patch, wt, wz[:zs], wx, wy)
-
-
-def sample_bank_points(bank: FieldBank, idx, x, y, t=None, z=None) -> jnp.ndarray:
-    """Sub-cell multilinear sample at float points: bilinear in (x, y),
-    linear in z (5-D banks) and in t (4/5-D banks) — the per-UAV
-    (x, y, z, t) field query of the north star.  Scalar inputs sample
-    directly (the vmapped-env hot path); array inputs are flattened and
-    vmapped."""
-    idx = jnp.asarray(idx)
-    if idx.ndim == 0:
-        return _sample_point_scalar(bank, idx, x, y, t, z)
-    shape = idx.shape
-    flat = lambda v, fill: (
-        jnp.full(shape, fill, jnp.float32).reshape(-1) if v is None
-        else jnp.broadcast_to(jnp.asarray(v), shape).reshape(-1)
-    )
-    out = jax.vmap(
-        lambda i, xx, yy, tt, zz: _sample_point_scalar(bank, i, xx, yy, tt, zz)
-    )(idx.reshape(-1), flat(x, 0), flat(y, 0), flat(t, 0), flat(z, 0))
-    return out.reshape(shape)
+    v00 = plane(x0, y0)
+    v01 = plane(x0, y0 + 1)
+    v10 = plane(x0 + 1, y0)
+    v11 = plane(x0 + 1, y0 + 1)
+    return (v00 * (1 - fx) * (1 - fy) + v01 * (1 - fx) * fy
+            + v10 * fx * (1 - fy) + v11 * fx * fy)
 
 
 def bank_wind(bank: FieldBank, idx, t=None) -> jnp.ndarray:
