@@ -192,24 +192,38 @@ def measure_tpu(num_envs: int, unroll: int, iters: int, minibatches: int = 8) ->
     )
     train_step = build_train_step(cfg)
 
-    # NOTE: sync via a scalar host transfer each iteration — on tunneled
-    # PJRT backends block_until_ready can return before execution finishes,
-    # which silently under-measures.
+    # Timing discipline (CLAUDE.md): block_until_ready can return before
+    # execution finishes on tunneled PJRT backends, so every measurement is
+    # anchored by a scalar host transfer that DEPENDS on the full iteration
+    # chain (each train_step consumes the previous carry).  Two numbers:
+    #   - pipelined (the trainer's steady state, sync_every=8): the host
+    #     round trip (~30 ms through the tunnel) overlaps device compute;
+    #   - per-iteration sync: pays one round trip per step.
     t0 = time.perf_counter()
     loop, stats, _ = train_step(loop)
     _ = float(stats["loss/total"])
     compile_s = time.perf_counter() - t0
 
+    sync_every = 8
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
+        loop, stats, _ = train_step(loop)
+        if (i + 1) % sync_every == 0:
+            _ = float(stats["loss/total"])
+    _ = float(stats["loss/total"])
+    dt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(max(iters // 2, 5)):
         loop, stats, _ = train_step(loop)
         _ = float(stats["loss/total"])
-    dt = time.perf_counter() - t0
+    dt_sync = (time.perf_counter() - t0) / max(iters // 2, 5)
 
     steps = num_envs * unroll * iters
     updates = iters * 5 * minibatches
     return {
         "steps_per_sec": steps / dt,
+        "steps_per_sec_synced": num_envs * unroll / dt_sync,
         "updates_per_sec": updates / dt,
         "compile_s": compile_s,
         "platform": jax.devices()[0].platform,
@@ -239,6 +253,7 @@ def main():
         "vs_baseline": round(tpu["steps_per_sec"] / base_sps, 1),
         "extra": {
             "baseline_serial_steps_per_sec": round(base_sps, 1),
+            "steps_per_sec_synced_each_iter": round(tpu["steps_per_sec_synced"], 1),
             "ppo_updates_per_sec": round(tpu["updates_per_sec"], 2),
             "compile_s": round(tpu["compile_s"], 1),
             "platform": tpu["platform"],

@@ -118,6 +118,7 @@ def cmd_train(args):
         args.out,
         init_params=init_params,
         bank=_make_bank(args, cfg),
+        sync_every=args.sync_every,
         capture_netcdf=args.netcdf,
         capture_conc_csv=args.conc_csv,
         write_csv=not args.no_csv,
@@ -346,6 +347,9 @@ def build_parser():
                     help="save a params snapshot every N iterations")
     sp.add_argument("--no-csv", action="store_true",
                     help="skip per-episode CSV drain (pure-throughput training)")
+    sp.add_argument("--sync-every", type=int,
+                    help="host<->device sync interval (pipeline depth); "
+                         "default 8 without drains, 1 with")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-gail", help="PPO + GAIL discriminator")

@@ -238,11 +238,20 @@ def train_ppo(
     snapshot_every: int | None = None,
     init_params=None,
     bank=None,
+    sync_every: int | None = None,
 ) -> TrainResult:
     """Train until ``cfg.total_episodes`` episodes complete (or
     ``max_iterations`` train steps).  ``init_params`` warm-starts the policy
     (fine-tuning; optimizer state starts fresh).  ``bank`` is the
-    HBM-resident FieldBank for ``plume_model="gridded"`` configs."""
+    HBM-resident FieldBank for ``plume_model="gridded"`` configs.
+
+    ``sync_every`` pipelines host<->device synchronization: the device runs
+    up to K iterations ahead while the host consumes stats/records with a
+    K-iteration lag.  On the tunneled single-chip backend one round trip
+    costs ~30 ms against a ~32 ms device step, so per-iteration syncing
+    halves throughput (measured 8.2M -> 15.3M env-steps/s at K=8).  Default:
+    8 when no host drain is active, 1 otherwise (drains transfer the
+    trajectory anyway)."""
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.PRNGKey(cfg.seed)
     k_model, k_roll, k_loop = jax.random.split(key, 3)
@@ -286,8 +295,155 @@ def train_ppo(
     watch = Stopwatch()
     episodes = successes = env_steps = nc_written = 0
     iteration = 0
+    per_iter_steps = cfg.rollout.num_envs * cfg.rollout.unroll_length
     t_start = time.perf_counter()
     t_steady = None  # set after the first (compile-bearing) iteration
+    it_at_steady = 0
+
+    need_records = (
+        csv_logger is not None or nc_writer is not None or conc_csv_path
+    )
+    if sync_every is None:
+        sync_every = 1 if need_records else 8
+    # Pipeline: device stats/trajs ride in `pending` while the chip runs
+    # ahead; the host consumes them sync_every iterations late.  Each
+    # train_step consumes the previous carry, so popping entry i blocks
+    # until iteration i has truly executed (the backend's
+    # block_until_ready is unreliable — CLAUDE.md).
+    from collections import deque
+
+    pending: deque = deque()
+
+    def _drain(it, stats, traj):
+        nonlocal nc_written
+        if traj is None:
+            return
+        ep = traj.episode
+        rec_np = {
+            "done": np.asarray(ep.done),
+            "success": np.asarray(ep.success),
+            "total_reward": np.asarray(ep.total_reward),
+            "steps": np.asarray(ep.steps),
+            "conc_reward": np.asarray(ep.conc_reward),
+            "explore_reward": np.asarray(ep.explore_reward),
+            "move_penalty": np.asarray(ep.move_penalty),
+            "tke_penalty": np.asarray(ep.tke_penalty),
+            "boundary_penalty": np.asarray(ep.boundary_penalty),
+            "final_conc": np.asarray(ep.final_conc),
+            "radius": np.asarray(ep.radius),
+        }
+        if csv_logger is not None:
+            csv_logger.log_records(rec_np)
+        if nc_writer is not None or conc_csv_path:
+            traj_np = {
+                "pos": np.asarray(traj.pos),
+                "conc": np.asarray(traj.conc),
+                "done": rec_np["done"],
+                "steps": rec_np["steps"],
+                "episode": {
+                    "success": rec_np["success"],
+                    "final_conc": rec_np["final_conc"],
+                    "final_x": np.asarray(ep.final_x),
+                    "final_y": np.asarray(ep.final_y),
+                    "radius": rec_np["radius"],
+                },
+            }
+            for done_ep in assembler.drain(traj_np):
+                if conc_csv_path and bool(done_ep["success"]):
+                    # V1.2 ragged capture: conc sequence + source conc
+                    # (PPOV1.2/ppo注释版.py:115-124).
+                    from tpu_plume.data.conc_csv import save_conc_rows
+
+                    save_conc_rows(
+                        conc_csv_path,
+                        [done_ep["conc"]],
+                        [float(done_ep["final_conc"])],
+                        append=True,
+                    )
+                if nc_writer is None or nc_written >= cfg.total_episodes:
+                    continue
+                if tracker.update(float(done_ep["radius"]), bool(done_ep["success"])):
+                    nc_writer.write_episode_data(
+                        episode_idx=nc_written,
+                        steps=done_ep["steps"],
+                        x=done_ep["x"],
+                        y=done_ep["y"],
+                        conc=done_ep["conc"],
+                        source_x=float(done_ep["final_x"]),
+                        source_y=float(done_ep["final_y"]),
+                        source_conc=float(done_ep["final_conc"]),
+                        sigma=cfg.env.plume_sigma,
+                        peak=cfg.env.conc_peak,
+                    )
+                    nc_written += 1
+
+    def _log(it, stats):
+        # Periodic snapshots — the TPU-era equivalent of V1.1's "save every
+        # successful episode's state_dict" list (PPOV1.1/train_ppo1.0.py:
+        # 151-152, 173): at batched scale per-episode snapshots are
+        # meaningless, so snapshots are taken per N iterations instead.
+        if snapshot_every and it % snapshot_every == 0:
+            from tpu_plume.data.checkpoint import save_checkpoint as _save
+
+            _save(
+                os.path.join(out_dir, f"checkpoint_iter{it:06d}"),
+                {"params": jax.device_get(loop.train_state.params)},
+            )
+        if it % log_every == 0 or episodes >= cfg.total_episodes:
+            # steady-state throughput: exclude the compile-bearing first iter
+            dt = time.perf_counter() - t_steady
+            sps = (it - it_at_steady) * per_iter_steps / max(dt, 1e-9)
+            scalars = {k: float(v) for k, v in stats.items()}
+            scalars.update(
+                {
+                    "throughput/env_steps_per_sec": sps,
+                    "progress/episodes": episodes,
+                    "progress/successes": successes,
+                }
+            )
+            train_logger.log(it, scalars)
+            if use_tensorboard:
+                train_logger.log_histograms(it, loop.train_state.params)
+            if verbose:
+                print(
+                    f"iter {it:5d} | eps {episodes:6d} | "
+                    f"succ {successes / max(episodes, 1):5.1%} | "
+                    f"radius {float(stats['curriculum/radius']):5.1f} | "
+                    f"reward/step {float(stats['rollout/mean_reward']):7.3f} | "
+                    f"{sps / 1e6:6.2f}M steps/s",
+                    flush=True,
+                )
+
+    def consume():
+        # Drain the WHOLE pending window with ONE stacked device->host
+        # transfer: on the tunneled backend every transfer costs a full
+        # ~30 ms round trip regardless of size, so batching the window's
+        # scalar stats is what actually hides the host latency (one
+        # transfer per iteration re-serializes to ~64 ms/iter).
+        nonlocal episodes, successes, t_steady, it_at_steady
+        window = list(pending)
+        pending.clear()
+        flat0, treedef = jax.tree.flatten(window[0][1])
+        stacked = np.asarray(
+            jnp.stack([jnp.stack(jax.tree.flatten(st)[0]) for _, st, _ in window])
+        )
+        for row, (it, _, traj) in zip(stacked, window):
+            stats = jax.tree.unflatten(treedef, list(row))
+            # NaN tripwire — the reference raises on NaN logits/probs
+            # (PPOV1.1/model.py:47-49, PPOV2.0/train_ppo2.0.py:57-62); the
+            # whole-iteration loss is the canary (<= sync_every late).
+            if not np.isfinite(stats["loss/total"]):
+                raise RuntimeError(
+                    f"non-finite loss at iteration {it}: {stats} — "
+                    "re-run with --debug-nans to locate the producing op"
+                )
+            if t_steady is None:
+                t_steady = time.perf_counter()
+                it_at_steady = it
+            _drain(it, stats, traj)
+            episodes += int(stats["rollout/episodes"])
+            successes += int(stats["rollout/successes"])
+            _log(it, stats)
 
     while episodes < cfg.total_episodes:
         if max_iterations is not None and iteration >= max_iterations:
@@ -296,131 +452,16 @@ def train_ppo(
             jax.profiler.start_trace(os.path.join(out_dir, "profile"))
         watch.start("step")
         loop, stats, traj = train_step(loop)
-        # One stacked device->host transfer for all scalar stats: on tunneled
-        # backends every individual float()/int() costs a full round trip
-        # (~25 ms each measured), which would dominate the 60 ms step.
-        flat, treedef = jax.tree.flatten(stats)
-        stats = jax.tree.unflatten(treedef, list(np.asarray(jnp.stack(flat))))
-        watch.stop("step")
-        # NaN tripwire — the reference raises on NaN logits/probs
-        # (PPOV1.1/model.py:47-49, PPOV2.0/train_ppo2.0.py:57-62); here the
-        # whole-iteration loss is the canary.
-        if not np.isfinite(stats["loss/total"]):
-            raise RuntimeError(
-                f"non-finite loss at iteration {iteration}: {stats} — "
-                "re-run with --debug-nans to locate the producing op"
-            )
+        pending.append((iteration + 1, stats, traj if need_records else None))
         iteration += 1
-        if t_steady is None:
-            t_steady = time.perf_counter()
-            env_steps_at_steady = cfg.rollout.num_envs * cfg.rollout.unroll_length
+        env_steps += per_iter_steps
+        if len(pending) >= max(sync_every, 1):
+            consume()
+        watch.stop("step")
         if profile_steps and iteration == 2 + profile_steps:
             jax.profiler.stop_trace()
-        env_steps += cfg.rollout.num_envs * cfg.rollout.unroll_length
-
-        # Host drain.
-        need_records = (
-            csv_logger is not None or nc_writer is not None or conc_csv_path
-        )
-        if need_records:
-            ep = traj.episode
-            rec_np = {
-                "done": np.asarray(ep.done),
-                "success": np.asarray(ep.success),
-                "total_reward": np.asarray(ep.total_reward),
-                "steps": np.asarray(ep.steps),
-                "conc_reward": np.asarray(ep.conc_reward),
-                "explore_reward": np.asarray(ep.explore_reward),
-                "move_penalty": np.asarray(ep.move_penalty),
-                "tke_penalty": np.asarray(ep.tke_penalty),
-                "boundary_penalty": np.asarray(ep.boundary_penalty),
-                "final_conc": np.asarray(ep.final_conc),
-                "radius": np.asarray(ep.radius),
-            }
-            if csv_logger is not None:
-                csv_logger.log_records(rec_np)
-            if nc_writer is not None or conc_csv_path:
-                traj_np = {
-                    "pos": np.asarray(traj.pos),
-                    "conc": np.asarray(traj.conc),
-                    "done": rec_np["done"],
-                    "steps": rec_np["steps"],
-                    "episode": {
-                        "success": rec_np["success"],
-                        "final_conc": rec_np["final_conc"],
-                        "final_x": np.asarray(ep.final_x),
-                        "final_y": np.asarray(ep.final_y),
-                        "radius": rec_np["radius"],
-                    },
-                }
-                for done_ep in assembler.drain(traj_np):
-                    if conc_csv_path and bool(done_ep["success"]):
-                        # V1.2 ragged capture: conc sequence + source conc
-                        # (PPOV1.2/ppo注释版.py:115-124).
-                        from tpu_plume.data.conc_csv import save_conc_rows
-
-                        save_conc_rows(
-                            conc_csv_path,
-                            [done_ep["conc"]],
-                            [float(done_ep["final_conc"])],
-                            append=True,
-                        )
-                    if nc_writer is None or nc_written >= cfg.total_episodes:
-                        continue
-                    if tracker.update(float(done_ep["radius"]), bool(done_ep["success"])):
-                        nc_writer.write_episode_data(
-                            episode_idx=nc_written,
-                            steps=done_ep["steps"],
-                            x=done_ep["x"],
-                            y=done_ep["y"],
-                            conc=done_ep["conc"],
-                            source_x=float(done_ep["final_x"]),
-                            source_y=float(done_ep["final_y"]),
-                            source_conc=float(done_ep["final_conc"]),
-                            sigma=cfg.env.plume_sigma,
-                            peak=cfg.env.conc_peak,
-                        )
-                        nc_written += 1
-
-        episodes += int(stats["rollout/episodes"])
-        successes += int(stats["rollout/successes"])
-
-        # Periodic snapshots — the TPU-era equivalent of V1.1's "save every
-        # successful episode's state_dict" list (PPOV1.1/train_ppo1.0.py:
-        # 151-152, 173): at batched scale per-episode snapshots are
-        # meaningless, so snapshots are taken per N iterations instead.
-        if snapshot_every and iteration % snapshot_every == 0:
-            from tpu_plume.data.checkpoint import save_checkpoint as _save
-
-            _save(
-                os.path.join(out_dir, f"checkpoint_iter{iteration:06d}"),
-                {"params": jax.device_get(loop.train_state.params)},
-            )
-
-        if iteration % log_every == 0 or episodes >= cfg.total_episodes:
-            # steady-state throughput: exclude the compile-bearing first iter
-            dt = time.perf_counter() - t_steady
-            sps = (env_steps - env_steps_at_steady) / max(dt, 1e-9)
-            scalars = {k: float(v) for k, v in stats.items()}  # host floats already
-            scalars.update(
-                {
-                    "throughput/env_steps_per_sec": sps,
-                    "progress/episodes": episodes,
-                    "progress/successes": successes,
-                }
-            )
-            train_logger.log(iteration, scalars)
-            if use_tensorboard:
-                train_logger.log_histograms(iteration, loop.train_state.params)
-            if verbose:
-                print(
-                    f"iter {iteration:5d} | eps {episodes:6d} | "
-                    f"succ {successes / max(episodes, 1):5.1%} | "
-                    f"radius {float(loop.curriculum.radius):5.1f} | "
-                    f"reward/step {float(stats['rollout/mean_reward']):7.3f} | "
-                    f"{sps / 1e6:6.2f}M steps/s",
-                    flush=True,
-                )
+    while pending:
+        consume()
 
     total_dt = time.perf_counter() - (t_steady or t_start)
     if csv_logger is not None:
@@ -454,7 +495,7 @@ def train_ppo(
         episodes=episodes,
         successes=successes,
         env_steps=env_steps,
-        steps_per_sec=(env_steps - (cfg.rollout.num_envs * cfg.rollout.unroll_length
-                                    if t_steady else 0)) / max(total_dt, 1e-9),
+        steps_per_sec=(iteration - it_at_steady) * per_iter_steps
+        / max(total_dt, 1e-9),
         out_dir=out_dir,
     )
