@@ -207,3 +207,26 @@ def test_v1_0_reward_variant():
         np.testing.assert_allclose(float(tr.reward), expect, rtol=1e-4, atol=1e-4)
         if bool(tr.done):
             break
+
+
+def test_terminal_depth_bonus():
+    """terminal_depth_coef adds (radius - distance)/radius * coef at the
+    reached step (off by default — reference parity)."""
+    import dataclasses
+
+    base = EnvConfig(turbulence_intensity=1e-6)
+    deep = dataclasses.replace(base, terminal_depth_coef=100.0)
+    state, _ = methane.reset(jax.random.PRNGKey(0), base)
+    src = state.field.source
+    # place the agent 10 units from the source with radius 50 -> depth 0.8
+    pos = src + jnp.array([10.0, 0.0])
+    state = state.replace(pos=pos, radius=jnp.float32(50.0))
+    zero = jnp.zeros(2, jnp.float32)
+    _, tr_base = methane.step_noise(state, jnp.int32(0), zero, base)
+    _, tr_deep = methane.step_noise(state, jnp.int32(0), zero, deep)
+    assert bool(tr_base.info.reached) and bool(tr_deep.info.reached)
+    d = float(tr_deep.info.distance)
+    expect = 100.0 * (50.0 - d) / 50.0
+    np.testing.assert_allclose(
+        float(tr_deep.reward - tr_base.reward), expect, rtol=1e-4
+    )

@@ -118,6 +118,13 @@ class EnvConfig:
     boundary_gradient_gate: float = -0.01
     terminal_bonus_cap: float = 500.0
     terminal_bonus_coef: float = 150.0
+    # Extra terminal reward proportional to crossing depth
+    # (radius - distance)/radius — teaches the policy to aim through the
+    # goal ball's center instead of grazing its rim, which converts
+    # radius-50 reaches into <=40-deviation successes under the reference
+    # eval protocol (PPOV2.0/config.py:43).  0 disables (default;
+    # reference parity).
+    terminal_depth_coef: float = 0.0
     # v1_0-only knobs (PPOV1.0/ppo0.0.py:166-183)
     v10_flat_move_penalty: float = 0.05
     v10_boundary_margin_frac: float = 0.1

@@ -328,6 +328,9 @@ def step_noise(
             cfg.terminal_bonus_cap,
             cfg.terminal_bonus_coef * (cfg.initial_radius / state.radius),
         )
+    if cfg.terminal_depth_coef:
+        depth = jnp.maximum(state.radius - distance, 0.0) / state.radius
+        terminal_bonus = terminal_bonus + cfg.terminal_depth_coef * depth
     total_reward = total_reward + jnp.where(reached, terminal_bonus, 0.0)
 
     done = (t_new >= cfg.max_steps) | reached

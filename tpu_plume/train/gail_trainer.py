@@ -198,6 +198,13 @@ def train_ppo_gail(
     episodes = successes = 0
     iteration = 0
     t0 = time.perf_counter()
+    # Per-iteration learning curve (episodes vs success) — the artifact the
+    # closed-vs-open-loop study compares; reference GAIL logged TB scalars
+    # only (train_ppo_gail.py:178-186).
+    curve_path = os.path.join(out_dir, "curve.csv")
+    with open(curve_path, "w") as f:
+        f.write("iteration,episodes,successes,success_rate,mean_reward,"
+                "disc_loss,disc_acc,radius\n")
     while episodes < cfg.total_episodes:
         if max_iterations is not None and iteration >= max_iterations:
             break
@@ -206,8 +213,19 @@ def train_ppo_gail(
         flat, treedef = jax.tree.flatten(stats)
         stats = jax.tree.unflatten(treedef, list(np.asarray(jnp.stack(flat))))
         iteration += 1
-        episodes += int(stats["rollout/episodes"])
-        successes += int(stats["rollout/successes"])
+        it_eps = int(stats["rollout/episodes"])
+        it_succ = int(stats["rollout/successes"])
+        episodes += it_eps
+        successes += it_succ
+        with open(curve_path, "a") as f:
+            f.write(
+                f"{iteration},{episodes},{successes},"
+                f"{it_succ / max(it_eps, 1):.4f},"
+                f"{float(stats['rollout/mean_reward']):.4f},"
+                f"{float(stats['gail/disc_loss']):.4f},"
+                f"{float(stats['gail/disc_acc']):.4f},"
+                f"{float(stats['curriculum/radius']):.2f}\n"
+            )
         if verbose and iteration % 10 == 0:
             print(
                 f"iter {iteration:4d} | eps {episodes:6d} | "
