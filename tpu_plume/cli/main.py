@@ -27,7 +27,10 @@ def _load_params(args, cfg):
 
     from tpu_plume.models import ActorCritic
 
-    model = ActorCritic(num_actions=cfg.env.num_actions)
+    hidden = cfg.ppo.hidden_sizes
+    if getattr(args, "hidden", None):
+        hidden = tuple(int(h) for h in args.hidden.split(","))
+    model = ActorCritic(num_actions=cfg.env.num_actions, hidden_sizes=hidden)
     if args.pth:
         from tpu_plume.data.torch_export import import_actor_critic_pth
 
@@ -60,6 +63,10 @@ def _apply_overrides(cfg, args):
         ppo = dataclasses.replace(ppo, entropy_beta=args.entropy)
     if getattr(args, "bf16", False):
         ppo = dataclasses.replace(ppo, bf16_compute=True)
+    if getattr(args, "hidden", None):
+        ppo = dataclasses.replace(
+            ppo, hidden_sizes=tuple(int(h) for h in args.hidden.split(","))
+        )
     cfg = cfg.replace(rollout=rollout, ppo=ppo)
     if args.episodes:
         cfg = cfg.replace(total_episodes=args.episodes)
@@ -332,6 +339,9 @@ def build_parser():
         sp.add_argument("--lr", type=float)
         sp.add_argument("--entropy", type=float)
         sp.add_argument("--bf16", action="store_true")
+        sp.add_argument("--hidden",
+                        help='trunk widths, e.g. "512,256" (default 256,128 '
+                             "— the reference architecture)")
         sp.add_argument("--ckpt")
         sp.add_argument("--pth")
 

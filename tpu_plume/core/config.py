@@ -192,6 +192,10 @@ class PPOConfig:
     # Compute the actor-critic trunk in bfloat16 (params stay f32, outputs
     # cast back to f32).  MXU-native; off by default for exact-parity runs.
     bf16_compute: bool = False
+    # Actor-critic trunk widths.  (256, 128) is the reference architecture
+    # (PPOV1.1/model.py:17-53); wider trunks are a performance config (the
+    # MXU is indifferent up to ~1024 at these batch sizes).
+    hidden_sizes: tuple = (256, 128)
 
 
 @dataclass(frozen=True)

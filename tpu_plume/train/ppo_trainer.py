@@ -62,6 +62,7 @@ class TrainResult:
 def make_train_state(cfg: TrainConfig, key: jax.Array) -> TrainState:
     model = ActorCritic(
         num_actions=cfg.env.num_actions,
+        hidden_sizes=cfg.ppo.hidden_sizes,
         dtype=jnp.bfloat16 if cfg.ppo.bf16_compute else jnp.float32,
     )
     params = model.init(key, jnp.zeros((1, cfg.env.obs_dim)))
