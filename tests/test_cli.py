@@ -25,7 +25,7 @@ def test_cli_train_and_eval(tmp_path, capsys):
     main([
         "train", "--preset", "ppo_v2_0", "--out", out_dir,
         "--envs", "8", "--unroll", "16", "--minibatch", "64",
-        "--iterations", "2", "--episodes", "100000",
+        "--iterations", "2", "--episodes", "100000", "--depth-coef", "50",
     ])
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["env_steps"] == 2 * 8 * 16
@@ -82,7 +82,7 @@ def test_cli_train_gail(tmp_path, capsys):
     capsys.readouterr()
     main([
         "train-gail", "--preset", "ppo_v1_1", "--expert", expert,
-        "--out", str(tmp_path / "gail"), "--closed-loop",
+        "--out", str(tmp_path / "gail"), "--closed-loop", "--gail-coef", "0.2",
         "--envs", "8", "--unroll", "8", "--minibatch", "32", "--iterations", "2",
         "--episodes", "100000",
     ])

@@ -49,6 +49,14 @@ def _apply_overrides(cfg, args):
         cfg = cfg.replace(
             env=dataclasses.replace(cfg.env, plume_model=args.plume_model)
         )
+    if getattr(args, "depth_coef", None) is not None:
+        cfg = cfg.replace(
+            env=dataclasses.replace(cfg.env, terminal_depth_coef=args.depth_coef)
+        )
+    if getattr(args, "min_radius", None) is not None:
+        cfg = cfg.replace(
+            curriculum=dataclasses.replace(cfg.curriculum, min_radius=args.min_radius)
+        )
     rollout = cfg.rollout
     if args.envs:
         rollout = dataclasses.replace(rollout, num_envs=args.envs)
@@ -155,7 +163,8 @@ def cmd_train_gail(args):
     cfg = _apply_overrides(get_preset(args.preset), args)
     res = train_ppo_gail(
         cfg, args.out, args.expert,
-        closed_loop=args.closed_loop, max_iterations=args.iterations,
+        closed_loop=args.closed_loop, gail_reward_coef=args.gail_coef,
+        max_iterations=args.iterations,
     )
     print(json.dumps({"episodes": res.episodes, "successes": res.successes,
                       "out_dir": res.out_dir}))
@@ -338,6 +347,13 @@ def build_parser():
                         help="enable jax_debug_nans (find the op producing NaNs)")
         sp.add_argument("--lr", type=float)
         sp.add_argument("--entropy", type=float)
+        sp.add_argument("--depth-coef", type=float,
+                        help="terminal goal-ball crossing-depth bonus coef "
+                             "(EnvConfig.terminal_depth_coef; default 0 = "
+                             "reference parity)")
+        sp.add_argument("--min-radius", type=float,
+                        help="curriculum radius floor (set 50 to train at the "
+                             "fixed reference-protocol radius)")
         sp.add_argument("--bf16", action="store_true")
         sp.add_argument("--hidden",
                         help='trunk widths, e.g. "512,256" (default 256,128 '
@@ -366,6 +382,8 @@ def build_parser():
     common(sp, "runs/gail")
     sp.add_argument("--expert", required=True)
     sp.add_argument("--closed-loop", action="store_true")
+    sp.add_argument("--gail-coef", type=float, default=0.1,
+                    help="imitation-reward weight (closed loop only)")
     sp.set_defaults(fn=cmd_train_gail)
 
     sp = sub.add_parser("train-lstm", help="LSTM stop-predictor training")
