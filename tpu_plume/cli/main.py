@@ -21,16 +21,22 @@ import os
 
 
 def _load_params(args, cfg):
-    """Load policy params from an Orbax checkpoint dir or a reference .pth."""
+    """Load policy params from an Orbax checkpoint dir or a reference .pth.
+    Honors ``--arch``/``--hidden`` so eval/expert build the same network the
+    checkpoint was trained with."""
     import jax
     import jax.numpy as jnp
 
-    from tpu_plume.models import ActorCritic
+    from tpu_plume.train.ppo_trainer import make_policy_model
 
-    hidden = cfg.ppo.hidden_sizes
+    ppo = cfg.ppo
     if getattr(args, "hidden", None):
-        hidden = tuple(int(h) for h in args.hidden.split(","))
-    model = ActorCritic(num_actions=cfg.env.num_actions, hidden_sizes=hidden)
+        ppo = dataclasses.replace(
+            ppo, hidden_sizes=tuple(int(h) for h in args.hidden.split(","))
+        )
+    if getattr(args, "arch", None):
+        ppo = dataclasses.replace(ppo, arch=args.arch)
+    model = make_policy_model(cfg.replace(ppo=ppo))
     if args.pth:
         from tpu_plume.data.torch_export import import_actor_critic_pth
 
@@ -75,6 +81,8 @@ def _apply_overrides(cfg, args):
         ppo = dataclasses.replace(
             ppo, hidden_sizes=tuple(int(h) for h in args.hidden.split(","))
         )
+    if getattr(args, "arch", None):
+        ppo = dataclasses.replace(ppo, arch=args.arch)
     cfg = cfg.replace(rollout=rollout, ppo=ppo)
     if args.episodes:
         cfg = cfg.replace(total_episodes=args.episodes)
@@ -212,10 +220,13 @@ def cmd_eval(args):
         stop_gate = make_heuristic_gate(cfg.eval, cfg.env.conc_peak)
     elif args.stop in ("threshold", "peakstop"):
         stop_gate = _lstm_gate(args, cfg)
+    from tpu_plume.models.recurrent import RecurrentActorCritic
+
+    rnn = model if isinstance(model, RecurrentActorCritic) else None
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
-        goal_radius=args.goal_radius, bank=_make_bank(args, cfg),
+        goal_radius=args.goal_radius, bank=_make_bank(args, cfg), rnn=rnn,
     )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -267,10 +278,13 @@ def cmd_expert(args):
 
     cfg = get_preset(args.preset)
     model, params = _load_params(args, cfg)
+    from tpu_plume.models.recurrent import RecurrentActorCritic
+
+    rnn = model if isinstance(model, RecurrentActorCritic) else None
     states, actions = generate_expert_data(
         params, model.apply, cfg.env, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes or 100, path=args.out,
-        bank=_make_bank(args, cfg),
+        bank=_make_bank(args, cfg), rnn=rnn,
     )
     print(json.dumps({"samples": int(states.shape[0]), "path": args.out}))
 
@@ -358,6 +372,10 @@ def build_parser():
         sp.add_argument("--hidden",
                         help='trunk widths, e.g. "512,256" (default 256,128 '
                              "— the reference architecture)")
+        sp.add_argument("--arch", choices=["mlp", "lstm"],
+                        help="policy architecture: mlp (reference parity) or "
+                             "lstm (recurrent PPO+LSTM policy — memory "
+                             "enables concentration-gradient chemotaxis)")
         sp.add_argument("--ckpt")
         sp.add_argument("--pth")
 

@@ -196,6 +196,14 @@ class PPOConfig:
     # (PPOV1.1/model.py:17-53); wider trunks are a performance config (the
     # MXU is indifferent up to ~1024 at these batch sizes).
     hidden_sizes: tuple = (256, 128)
+    # Policy architecture: "mlp" (reference parity) or "lstm" — the
+    # recurrent PPO+LSTM policy the reference's name advertises but never
+    # implements (its LSTMs are offline stop predictors, SURVEY.md §2.5).
+    # Memory lets the policy sense the concentration gradient across steps
+    # (chemotaxis), which the memoryless 6-dim obs cannot express.
+    arch: str = "mlp"
+    lstm_hidden: int = 128
+    lstm_embed: int = 128
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,7 @@ class _EvalCarry:
     steps: jnp.ndarray
     stopped_early: jnp.ndarray
     key: jax.Array
+    policy_state: Any = None   # recurrent (c, h) carry; None for MLP
 
 
 @dataclasses.dataclass
@@ -122,6 +123,7 @@ def evaluate_policy(
     track_trajectories: int = 0,
     goal_radius: float | None = None,
     bank=None,
+    rnn=None,
 ) -> EvalMetrics:
     """Run ``num_episodes`` parallel greedy episodes; returns per-episode
     metrics in the reference npz layout.
@@ -135,6 +137,9 @@ def evaluate_policy(
     reference protocol uses the INITIAL_RADIUS=50 of a fresh env; setting the
     trained curriculum radius instead measures true localization precision —
     the <5-unit north star)."""
+    # ``rnn`` (a RecurrentActorCritic) switches to the hidden-carrying
+    # policy step — the PPO+LSTM policy; episodes never restart inside the
+    # eval scan, so no reset bookkeeping is needed.
     n = num_episodes or eval_cfg.episodes
     length = max_steps or min(env_cfg.max_steps, eval_cfg.max_eval_steps)
 
@@ -161,11 +166,16 @@ def evaluate_policy(
             steps=jnp.zeros(n, jnp.int32),
             stopped_early=jnp.zeros(n, bool),
             key=k_scan,
+            policy_state=rnn.initial_state(n) if rnn is not None else None,
         )
 
         def body(c: _EvalCarry, _):
             key, k_act, k_step = jax.random.split(c.key, 3)
-            logits, _ = apply_fn(params, c.obs)
+            if rnn is not None:
+                pol_state, logits, _ = rnn.apply(params, c.policy_state, c.obs)
+            else:
+                pol_state = c.policy_state
+                logits, _ = apply_fn(params, c.obs)
             if greedy:
                 action = jnp.argmax(logits, axis=-1)
             else:
@@ -193,6 +203,7 @@ def evaluate_policy(
             env_state = keep(new_env, c.env_state)
             obs = jnp.where(active[:, None], trans.obs, c.obs)
             stop_state = keep(new_stop, c.stop_state)
+            pol = keep(pol_state, c.policy_state) if rnn is not None else pol_state
             steps = c.steps + active.astype(jnp.int32)
             stopped_early = c.stopped_early | (active & stop_fired)
             finished = c.finished | trans.done | stop_fired
@@ -205,7 +216,8 @@ def evaluate_policy(
             else:
                 tracked = None
             return (
-                _EvalCarry(env_state, obs, stop_state, finished, steps, stopped_early, key),
+                _EvalCarry(env_state, obs, stop_state, finished, steps,
+                           stopped_early, key, pol),
                 tracked,
             )
 
@@ -260,6 +272,7 @@ def generate_expert_data(
     num_episodes: int = 100,
     path: str | None = None,
     bank=None,
+    rnn=None,
 ):
     """Greedy-rollout (state, action) collection — the reference expert-data
     pipeline (PPOV1.1/generate_expert_data.py:14-61)."""
@@ -270,11 +283,15 @@ def generate_expert_data(
     def run(reset_keys, k_scan):
         env_state, obs = jax.vmap(lambda k: reset(k, env_cfg, bank=bank))(reset_keys)
         finished = jnp.zeros(n, bool)
+        pol0 = rnn.initial_state(n) if rnn is not None else jnp.zeros(n)
 
         def body(carry, _):
-            env_state, obs, finished, key = carry
+            env_state, obs, finished, key, pol = carry
             key, k_step = jax.random.split(key)
-            logits, _ = apply_fn(params, obs)
+            if rnn is not None:
+                pol, logits, _ = rnn.apply(params, pol, obs)
+            else:
+                logits, _ = apply_fn(params, obs)
             action = jnp.argmax(logits, axis=-1)
             step_keys = jax.random.split(k_step, n)
             new_env, trans = jax.vmap(lambda s, a, k: step(s, a, k, env_cfg, bank))(
@@ -289,10 +306,11 @@ def generate_expert_data(
             )
             obs = jnp.where(active[:, None], trans.obs, obs)
             finished = finished | trans.done
-            return (env_state, obs, finished, key), out
+            return (env_state, obs, finished, key, pol), out
 
         _, (states, actions, valid) = jax.lax.scan(
-            body, (env_state, obs, finished, k_scan), None, length=env_cfg.max_steps
+            body, (env_state, obs, finished, k_scan, pol0), None,
+            length=env_cfg.max_steps,
         )
         return states, actions, valid
 

@@ -91,6 +91,116 @@ def ppo_loss(params, apply_fn, batch: PPOBatch, cfg: PPOConfig):
     return total, metrics
 
 
+@struct.dataclass
+class RecurrentPPOBatch:
+    """Sequence-major rollout data for the recurrent (LSTM) policy.
+
+    Unlike ``PPOBatch`` the time axis survives: the update replays the
+    policy's hidden state over each chunk (BPTT) from the stored chunk-start
+    carry ``h_init``, zeroing it where ``resets`` (episode auto-reset at the
+    previous step).  Stored-state replay across epochs is the standard
+    recurrent-PPO approximation (the carry goes slightly stale as params
+    move within the update; chunk lengths here are <=128 steps)."""
+
+    obs: jnp.ndarray            # f32[T, N, obs_dim]
+    actions: jnp.ndarray        # i32[T, N]
+    old_log_probs: jnp.ndarray  # f32[T, N]
+    advantages: jnp.ndarray     # f32[T, N] (normalized)
+    returns: jnp.ndarray        # f32[T, N]
+    old_values: jnp.ndarray     # f32[T, N]
+    resets: jnp.ndarray         # bool[T, N] — zero hidden before step t
+    h_init: Any                 # (c, h) each f32[N, H] at chunk start
+
+
+def ppo_loss_recurrent(params, apply_fn, batch: RecurrentPPOBatch, cfg: PPOConfig):
+    """Same clipped-surrogate losses as ``ppo_loss`` but over a [T, n]
+    sequence minibatch with hidden-state replay."""
+    _, logits, values = apply_fn(
+        params, batch.h_init, batch.obs, batch.resets, method="sequence"
+    )
+    log_probs_all = jax.nn.log_softmax(logits)
+    action_oh = jax.nn.one_hot(batch.actions, logits.shape[-1], dtype=logits.dtype)
+    new_log_probs = jnp.sum(log_probs_all * action_oh, axis=-1)
+
+    ratio = jnp.exp(new_log_probs - batch.old_log_probs)
+    surr1 = ratio * batch.advantages
+    surr2 = jnp.clip(ratio, 1.0 - cfg.clip_epsilon, 1.0 + cfg.clip_epsilon) * batch.advantages
+    policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+
+    value_clipped = batch.old_values + jnp.clip(
+        values - batch.old_values, -cfg.clip_epsilon, cfg.clip_epsilon
+    )
+    value_loss = cfg.value_loss_coef * jnp.mean(
+        jnp.maximum(
+            (values - batch.returns) ** 2,
+            (value_clipped - batch.returns) ** 2,
+        )
+    )
+
+    probs = jnp.exp(log_probs_all)
+    entropy = -jnp.sum(probs * log_probs_all, axis=-1).mean()
+
+    total = policy_loss + value_loss - cfg.entropy_beta * entropy
+    metrics = {
+        "loss/total": total,
+        "loss/policy": policy_loss,
+        "loss/value": value_loss,
+        "loss/entropy": entropy,
+        "loss/approx_kl": jnp.mean(batch.old_log_probs - new_log_probs),
+        "loss/clip_frac": jnp.mean(
+            (jnp.abs(ratio - 1.0) > cfg.clip_epsilon).astype(jnp.float32)
+        ),
+    }
+    return total, metrics
+
+
+def ppo_update_recurrent(
+    train_state: TrainState,
+    batch: RecurrentPPOBatch,
+    key: jax.Array,
+    cfg: PPOConfig,
+) -> tuple[TrainState, dict[str, Any]]:
+    """Recurrent-policy PPO update: minibatches are slices of the ENV axis
+    (whole sequences stay contiguous for BPTT), shuffled per epoch by a
+    random env permutation — an N-element gather, negligible next to the
+    flat path's B-element one.
+
+    ``cfg.minibatch_size`` still counts steps: each minibatch holds
+    ``minibatch_size // T`` complete env sequences."""
+    T, N = batch.actions.shape
+    envs_per_mb = max(1, cfg.minibatch_size // T)
+    num_minibatches = max(1, N // envs_per_mb)
+    envs_per_mb = N // num_minibatches
+    assert num_minibatches * envs_per_mb == N, (
+        f"num_envs {N} not divisible into {num_minibatches} minibatches"
+    )
+
+    grad_fn = jax.grad(ppo_loss_recurrent, has_aux=True)
+
+    def minibatch_step(ts: TrainState, mb: RecurrentPPOBatch):
+        grads, metrics = grad_fn(ts.params, ts.apply_fn, mb, cfg)
+        return ts.apply_gradients(grads=grads), metrics
+
+    def split_envs(x, perm):
+        # leaves are either [T, N, ...] (time-major) or [N, ...] (h_init)
+        if x.ndim >= 2 and x.shape[0] == T and x.shape[1] == N:
+            s = x[:, perm]
+            s = s.reshape(T, num_minibatches, envs_per_mb, *x.shape[2:])
+            return jnp.moveaxis(s, 1, 0)  # [M, T, n, ...]
+        s = x[perm]
+        return s.reshape(num_minibatches, envs_per_mb, *x.shape[1:])
+
+    def epoch_step(ts: TrainState, epoch_key: jax.Array):
+        perm = jax.random.permutation(epoch_key, N)
+        shuffled = jax.tree.map(lambda x: split_envs(x, perm), batch)
+        ts, metrics = jax.lax.scan(minibatch_step, ts, shuffled)
+        return ts, jax.tree.map(jnp.mean, metrics)
+
+    epoch_keys = jax.random.split(key, cfg.epochs)
+    train_state, metrics = jax.lax.scan(epoch_step, train_state, epoch_keys)
+    return train_state, jax.tree.map(jnp.mean, metrics)
+
+
 def ppo_update(
     train_state: TrainState,
     batch: PPOBatch,

@@ -92,6 +92,9 @@ class RolloutCarry:
     obs: jnp.ndarray           # f32[N, 6]
     accum: EpisodeAccum
     key: jax.Array
+    # Recurrent-policy (c, h) carry, zeroed at episode boundaries; None for
+    # the feedforward arch (pytree-stable: None is an empty subtree).
+    hidden: Any = None
 
 
 def init_rollout(
@@ -101,6 +104,7 @@ def init_rollout(
     radius: jnp.ndarray | float | None = None,
     explore_bonus: jnp.ndarray | float | None = None,
     bank=None,
+    hidden=None,
 ) -> RolloutCarry:
     key, sub = jax.random.split(key)
     reset_keys = jax.random.split(sub, num_envs)
@@ -110,6 +114,7 @@ def init_rollout(
         obs=obs,
         accum=EpisodeAccum.zeros(num_envs),
         key=key,
+        hidden=hidden,
     )
 
 
@@ -121,6 +126,7 @@ def rollout_chunk(
     length: int,
     greedy: bool = False,
     bank=None,
+    rnn=None,
 ):
     """Run ``length`` fused policy+env steps for all envs.
 
@@ -128,6 +134,13 @@ def rollout_chunk(
     where ``bootstrap_value`` is V(obs_T) for GAE.  With ``greedy=True`` the
     policy takes argmax actions (the reference evaluators' mode,
     PPOV2.0/evaluate_with_lstm.py:79-82).
+
+    ``rnn`` (a ``RecurrentActorCritic``) switches the policy to the
+    recurrent step: ``carry.hidden`` is threaded through the scan and zeroed
+    at episode boundaries alongside the env auto-reset.  The caller stores
+    ``carry.hidden`` (the pre-chunk value) as the BPTT replay root; replay
+    resets are ``done`` shifted by one step (rl/ppo.py
+    ``ppo_update_recurrent``).
     """
     num_envs = carry.obs.shape[0]
 
@@ -153,7 +166,11 @@ def rollout_chunk(
 
     def body(c: RolloutCarry, xs):
         noise_t, gumbel_t, u_src_t, u_wind_t, bits_t = xs
-        logits, value = apply_fn(params, c.obs)
+        if rnn is not None:
+            hidden, logits, value = rnn.apply(params, c.hidden, c.obs)
+        else:
+            hidden = c.hidden
+            logits, value = apply_fn(params, c.obs)
         if greedy:
             action = jnp.argmax(logits, axis=-1)
         else:
@@ -220,8 +237,13 @@ def rollout_chunk(
                 s, o, d, us, uw, b, cfg, bank
             )
         )(env_state, trans.obs, trans.done, u_src_t, u_wind_t, bits_t)
+        if rnn is not None:
+            # Episode-boundary memory reset, fused with the env auto-reset.
+            hidden = jax.tree.map(
+                lambda h: jnp.where(trans.done[:, None], 0.0, h), hidden
+            )
 
-        return RolloutCarry(env_state, next_obs, acc, c.key), out
+        return RolloutCarry(env_state, next_obs, acc, c.key, hidden), out
 
     carry, traj = jax.lax.scan(
         body,
@@ -229,5 +251,8 @@ def rollout_chunk(
         (turb_noise, gumbel, reset_u_src, reset_u_wind, reset_bits),
         length=length,
     )
-    _, bootstrap_value = apply_fn(params, carry.obs)
+    if rnn is not None:
+        _, _, bootstrap_value = rnn.apply(params, carry.hidden, carry.obs)
+    else:
+        _, bootstrap_value = apply_fn(params, carry.obs)
     return carry, traj, bootstrap_value

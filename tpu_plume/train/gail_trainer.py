@@ -174,6 +174,12 @@ def train_ppo_gail(
 ) -> GAILResult:
     from tpu_plume.data.expert import load_expert_data
 
+    if cfg.ppo.arch != "mlp":
+        raise ValueError(
+            "GAIL training supports the mlp policy only (the reference's "
+            "GAIL is V1.1/MLP, train_ppo_gail.py:34); train the lstm arch "
+            "with plain PPO"
+        )
     os.makedirs(out_dir, exist_ok=True)
     e_states, e_actions = load_expert_data(expert_path)
 

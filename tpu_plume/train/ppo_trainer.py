@@ -59,13 +59,34 @@ class TrainResult:
     out_dir: str
 
 
-def make_train_state(cfg: TrainConfig, key: jax.Array) -> TrainState:
-    model = ActorCritic(
+def make_policy_model(cfg: TrainConfig):
+    """The policy network for ``cfg.ppo.arch`` — shared by trainer, eval,
+    and CLI checkpoint loading."""
+    dtype = jnp.bfloat16 if cfg.ppo.bf16_compute else jnp.float32
+    if cfg.ppo.arch == "lstm":
+        from tpu_plume.models.recurrent import RecurrentActorCritic
+
+        return RecurrentActorCritic(
+            num_actions=cfg.env.num_actions,
+            embed_size=cfg.ppo.lstm_embed,
+            lstm_hidden=cfg.ppo.lstm_hidden,
+            dtype=dtype,
+        )
+    return ActorCritic(
         num_actions=cfg.env.num_actions,
         hidden_sizes=cfg.ppo.hidden_sizes,
-        dtype=jnp.bfloat16 if cfg.ppo.bf16_compute else jnp.float32,
+        dtype=dtype,
     )
-    params = model.init(key, jnp.zeros((1, cfg.env.obs_dim)))
+
+
+def make_train_state(cfg: TrainConfig, key: jax.Array) -> TrainState:
+    model = make_policy_model(cfg)
+    if cfg.ppo.arch == "lstm":
+        params = model.init(
+            key, model.initial_state(1), jnp.zeros((1, cfg.env.obs_dim))
+        )
+    else:
+        params = model.init(key, jnp.zeros((1, cfg.env.obs_dim)))
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
         optax.adam(cfg.ppo.learning_rate),
@@ -81,6 +102,7 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
     backends return INVALID_ARGUMENT) — off by default."""
     env_cfg, ppo_cfg, cur_cfg = cfg.env, cfg.ppo, cfg.curriculum
     T = cfg.rollout.unroll_length
+    rnn = make_policy_model(cfg) if ppo_cfg.arch == "lstm" else None
 
     def train_step(loop: LoopCarry):
         key, k_update = jax.random.split(loop.key)
@@ -93,10 +115,11 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
             explore_bonus=jnp.broadcast_to(loop.curriculum.explore_bonus, (n,)),
         )
         carry = loop.rollout.replace(env_state=env_state)
+        h_init = carry.hidden  # BPTT replay root (chunk-start carry)
 
         carry, traj, bootstrap = rollout_chunk(
             loop.train_state.params, loop.train_state.apply_fn, carry, env_cfg, T,
-            bank=bank,
+            bank=bank, rnn=rnn,
         )
 
         advantages, returns = compute_gae(
@@ -104,22 +127,45 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
             ppo_cfg.gamma, ppo_cfg.gae_lambda,
         )
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
-        adv_n = normalize_advantages(flat(advantages), ppo_cfg)
-        if ppo_cfg.bug_compat_returns:
-            # Reference quirk: returns built from *normalized* advantages
-            # (PPOV2.0/train_ppo2.0.py:40).
-            ret = adv_n + flat(traj.value)
+        if rnn is not None:
+            # Sequence-major update: hidden replay needs the time axis.
+            from tpu_plume.rl.ppo import RecurrentPPOBatch, ppo_update_recurrent
+
+            adv_n = normalize_advantages(advantages, ppo_cfg)
+            ret = adv_n + traj.value if ppo_cfg.bug_compat_returns else returns
+            resets = jnp.concatenate(
+                [jnp.zeros((1, n), bool), traj.done[:-1]], axis=0
+            )
+            rbatch = RecurrentPPOBatch(
+                obs=traj.obs,
+                actions=traj.action,
+                old_log_probs=traj.log_prob,
+                advantages=adv_n,
+                returns=ret,
+                old_values=traj.value,
+                resets=resets,
+                h_init=h_init,
+            )
+            train_state, loss_metrics = ppo_update_recurrent(
+                loop.train_state, rbatch, k_update, ppo_cfg
+            )
         else:
-            ret = flat(returns)
-        batch = PPOBatch(
-            obs=flat(traj.obs),
-            actions=flat(traj.action),
-            old_log_probs=flat(traj.log_prob),
-            advantages=adv_n,
-            returns=ret,
-            old_values=flat(traj.value),
-        )
-        train_state, loss_metrics = ppo_update(loop.train_state, batch, k_update, ppo_cfg)
+            adv_n = normalize_advantages(flat(advantages), ppo_cfg)
+            if ppo_cfg.bug_compat_returns:
+                # Reference quirk: returns built from *normalized* advantages
+                # (PPOV2.0/train_ppo2.0.py:40).
+                ret = adv_n + flat(traj.value)
+            else:
+                ret = flat(returns)
+            batch = PPOBatch(
+                obs=flat(traj.obs),
+                actions=flat(traj.action),
+                old_log_probs=flat(traj.log_prob),
+                advantages=adv_n,
+                returns=ret,
+                old_values=flat(traj.value),
+            )
+            train_state, loss_metrics = ppo_update(loop.train_state, batch, k_update, ppo_cfg)
 
         new_episodes = traj.done.sum().astype(jnp.int32)
         new_successes = (traj.done & traj.episode.success).sum().astype(jnp.int32)
@@ -261,11 +307,17 @@ def train_ppo(
     if init_params is not None:
         train_state = train_state.replace(params=jax.tree.map(jnp.asarray, init_params))
     curriculum = curriculum_init(cfg.curriculum, cfg.env.explore_bonus_init)
+    hidden = (
+        make_policy_model(cfg).initial_state(cfg.rollout.num_envs)
+        if cfg.ppo.arch == "lstm"
+        else None
+    )
     rollout = init_rollout(
         k_roll, cfg.env, cfg.rollout.num_envs,
         radius=cfg.curriculum.initial_radius,
         explore_bonus=cfg.env.explore_bonus_init,
         bank=bank,
+        hidden=hidden,
     )
     loop = LoopCarry(train_state=train_state, rollout=rollout, curriculum=curriculum, key=k_loop)
     train_step = build_train_step(cfg, bank=bank)
@@ -488,7 +540,12 @@ def train_ppo(
     )
     model_dir = os.path.join(out_dir, "model")
     os.makedirs(model_dir, exist_ok=True)
-    export_actor_critic_pth(params, os.path.join(model_dir, "ppo_successful_models.pth"))
+    if cfg.ppo.arch == "mlp" and len(cfg.ppo.hidden_sizes) == 2:
+        # .pth layout is pinned to the reference's 2-layer PPOActorCritic
+        # (torch_export._AC_MAP); other archs persist via Orbax only.
+        export_actor_critic_pth(
+            params, os.path.join(model_dir, "ppo_successful_models.pth")
+        )
 
     return TrainResult(
         params=params,
