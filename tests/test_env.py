@@ -230,3 +230,60 @@ def test_terminal_depth_bonus():
     np.testing.assert_allclose(
         float(tr_deep.reward - tr_base.reward), expect, rtol=1e-4
     )
+
+
+def test_obs_memory_extension():
+    """obs_memory appends [dconc/peak, one-hot(prev action)]: dim 6+1+5,
+    delta equals the conc change caused by the move, prev-action one-hot
+    matches the action taken.  Off by default (reference parity: obs_dim 6)."""
+    import dataclasses
+
+    base = EnvConfig(max_steps=50)
+    mem = dataclasses.replace(base, obs_memory=True)
+    assert base.obs_dim == 6 and mem.obs_dim == 12
+
+    state, obs0 = methane.reset(jax.random.PRNGKey(3), mem)
+    assert obs0.shape == (12,)
+    # at reset: prev_conc == conc (delta 0) and prev_action == 0 (stay)
+    np.testing.assert_allclose(float(obs0[6]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(obs0[7:]), [1, 0, 0, 0, 0], atol=1e-7)
+
+    conc_before = float(state.conc)
+    zero = jnp.zeros(2, jnp.float32)
+    new_state, tr = methane.step_noise(state, jnp.int32(3), zero, mem)
+    conc_after = float(new_state.conc)
+    np.testing.assert_allclose(
+        float(tr.obs[6]), (conc_after - conc_before) / mem.conc_peak, rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(tr.obs[7:]), [0, 0, 0, 1, 0], atol=1e-7)
+
+    # auto-reset clears the memory fields
+    fresh, fresh_obs = methane.auto_reset(
+        new_state, tr.obs, jnp.bool_(True), jax.random.PRNGKey(4), mem
+    )
+    assert int(fresh.prev_action) == 0
+    np.testing.assert_allclose(float(fresh_obs[6]), 0.0, atol=1e-7)
+
+
+def test_obs_memory_train_smoke(tmp_path):
+    """CLI wiring: --obs-memory trains and evals end-to-end (obs_dim 12)."""
+    import json
+    import os
+
+    from tpu_plume.cli.main import main
+    import contextlib, io
+
+    out_dir = str(tmp_path / "mem_run")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "train", "--preset", "ppo_v2_0", "--out", out_dir, "--obs-memory",
+            "--envs", "8", "--unroll", "16", "--minibatch", "64",
+            "--iterations", "2", "--episodes", "100000",
+        ])
+        main([
+            "eval", "--preset", "ppo_v2_0", "--obs-memory",
+            "--ckpt", os.path.join(out_dir, "checkpoint"), "--episodes", "4",
+        ])
+    lines = [l for l in buf.getvalue().splitlines() if l.startswith("{")]
+    assert "mean_deviation" in json.loads(lines[-1])

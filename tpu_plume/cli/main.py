@@ -59,6 +59,8 @@ def _apply_overrides(cfg, args):
         cfg = cfg.replace(
             env=dataclasses.replace(cfg.env, terminal_depth_coef=args.depth_coef)
         )
+    if getattr(args, "obs_memory", False):
+        cfg = cfg.replace(env=dataclasses.replace(cfg.env, obs_memory=True))
     if getattr(args, "min_radius", None) is not None:
         cfg = cfg.replace(
             curriculum=dataclasses.replace(cfg.curriculum, min_radius=args.min_radius)
@@ -213,7 +215,9 @@ def cmd_eval(args):
     from tpu_plume.core import get_preset
     from tpu_plume.evaluation import evaluate_policy, make_heuristic_gate, summarize
 
-    cfg = get_preset(args.preset)
+    # eval must mirror train-time env/model overrides (--plume-model,
+    # --obs-memory, --arch, --hidden) or the checkpoint won't fit the env
+    cfg = _apply_overrides(get_preset(args.preset), args)
     model, params = _load_params(args, cfg)
     stop_gate = None
     if args.stop == "heuristic":
@@ -276,7 +280,7 @@ def cmd_expert(args):
     from tpu_plume.core import get_preset
     from tpu_plume.evaluation import generate_expert_data
 
-    cfg = get_preset(args.preset)
+    cfg = _apply_overrides(get_preset(args.preset), args)
     model, params = _load_params(args, cfg)
     from tpu_plume.models.recurrent import RecurrentActorCritic
 
@@ -365,6 +369,10 @@ def build_parser():
                         help="terminal goal-ball crossing-depth bonus coef "
                              "(EnvConfig.terminal_depth_coef; default 0 = "
                              "reference parity)")
+        sp.add_argument("--obs-memory", action="store_true",
+                        help="append [dconc, prev-action one-hot] to the obs "
+                             "(run-and-tumble chemotaxis; off = reference "
+                             "parity)")
         sp.add_argument("--min-radius", type=float,
                         help="curriculum radius floor (set 50 to train at the "
                              "fixed reference-protocol radius)")

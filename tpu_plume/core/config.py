@@ -74,6 +74,15 @@ class EnvConfig:
     # wind vector.
     wind_advect_coef: float = 0.0
 
+    # --- One-step observation memory (opt-in extension; off = reference
+    # parity).  Appends [Δconc/peak, one-hot(prev action)] to the obs: the
+    # minimal sufficient statistics for run-and-tumble chemotaxis (keep
+    # heading while concentration rises, turn when it falls), which the
+    # reference's memoryless 6-dim obs cannot express — its greedy policies
+    # can only sweep, capping goal-ball crossing depth at chord geometry
+    # (RESULTS.md round-2 greedy study).
+    obs_memory: bool = False
+
     # --- Multi-source plumes (reference README.md:18 goal — flux inversion
     # <20% error — with no code anywhere in the reference).  With
     # num_sources > 1 the analytic field is a strength-weighted superposition
@@ -151,8 +160,12 @@ class EnvConfig:
 
     @property
     def obs_dim(self) -> int:
-        # 3-D adds z/domain_height after (x, y)
-        return 7 if self.env_3d else 6
+        # 3-D adds z/domain_height after (x, y); obs_memory appends
+        # Δconc + a prev-action one-hot.
+        base = 7 if self.env_3d else 6
+        if self.obs_memory:
+            base += 1 + self.num_actions
+        return base
 
     @property
     def num_actions(self) -> int:

@@ -42,6 +42,10 @@ class EnvState:
     # step: environment.py:88, 111, obs:76-77).
     conc: jnp.ndarray          # f32 concentration at the current cell
     tke: jnp.ndarray           # f32 TKE at the current cell
+    # One-step memory for the obs_memory extension (zeros when off):
+    # concentration before the last move and the last action taken.
+    prev_conc: jnp.ndarray     # f32
+    prev_action: jnp.ndarray   # i32
 
 
 @struct.dataclass
@@ -113,7 +117,12 @@ def observe(state: EnvState, cfg: EnvConfig, bank=None) -> jnp.ndarray:
         state.t.astype(jnp.float32) / cfg.max_steps,
         explore_level,
     ]
-    return jnp.stack(parts).astype(jnp.float32)
+    obs = jnp.stack(parts).astype(jnp.float32)
+    if cfg.obs_memory:
+        delta = (conc - state.prev_conc) / cfg.conc_peak
+        prev_oh = jax.nn.one_hot(state.prev_action, cfg.num_actions, dtype=jnp.float32)
+        obs = jnp.concatenate([obs, delta[None].astype(jnp.float32), prev_oh])
+    return obs
 
 
 def reset(
@@ -148,6 +157,8 @@ def reset(
         explore_bonus=jnp.asarray(explore_bonus, jnp.float32),
         conc=conc0,
         tke=tke0,
+        prev_conc=conc0,
+        prev_action=jnp.zeros((), jnp.int32),
     )
     return state, observe(state, cfg, bank)
 
@@ -298,6 +309,7 @@ def step_noise(
     new_state = state.replace(
         pos=new_pos.astype(jnp.float32), t=t_new, visited=visited,
         conc=cur_conc, tke=cur_tke,
+        prev_conc=prev_conc, prev_action=action.astype(jnp.int32),
     )
     obs = observe(new_state, cfg, bank)
 
@@ -402,6 +414,8 @@ def auto_reset_from_draws(
         explore_bonus=state.explore_bonus,
         conc=conc0,
         tke=tke0,
+        prev_conc=conc0,
+        prev_action=jnp.zeros((), jnp.int32),
     )
     next_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, state)
     fresh_obs = observe(fresh, cfg, bank)
