@@ -287,3 +287,45 @@ def test_obs_memory_train_smoke(tmp_path):
         ])
     lines = [l for l in buf.getvalue().splitlines() if l.startswith("{")]
     assert "mean_deviation" in json.loads(lines[-1])
+
+
+def test_delta_reward_variant():
+    """reward_variant='delta' (the reference README's R = dCH4 - 0.2|dtheta|
+    spec, README.md:97-99, absent from all reference code): conc term equals
+    coef*(conc'-conc)/peak and a heading-change penalty (1-cos)/2 lands in
+    the move component."""
+    import dataclasses
+
+    base = EnvConfig(turbulence_intensity=1e-6)
+    delta = dataclasses.replace(base, reward_variant="delta")
+    state, _ = methane.reset(jax.random.PRNGKey(0), delta)
+    # give the agent a previous heading of +x (action 3)
+    state = state.replace(prev_action=jnp.int32(3),
+                          pos=jnp.array([200.0, 200.0]),
+                          radius=jnp.float32(1.0))
+    # refresh cached conc at the new position
+    from tpu_plume.fields.analytic import sample_conc_tke
+    ix = jnp.int32(200); iy = jnp.int32(200)
+    c0, t0 = sample_conc_tke(state.field, ix, iy, delta, None)
+    state = state.replace(conc=c0, tke=t0)
+    zero = jnp.zeros(2, jnp.float32)
+
+    # same-direction move: no turn penalty; conc term is the change
+    new_state, tr = methane.step_noise(state, jnp.int32(3), zero, delta)
+    expect_conc = delta.conc_reward_coef * float(new_state.conc - c0) / delta.conc_peak
+    np.testing.assert_allclose(
+        float(tr.info.concentration_reward), expect_conc, rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(float(tr.info.move_penalty), 0.0, atol=1e-6)
+
+    # reversal (-x, action 4): cos=-1 -> full 0.2 turn penalty
+    _, tr_rev = methane.step_noise(state, jnp.int32(4), zero, delta)
+    np.testing.assert_allclose(
+        float(tr_rev.info.move_penalty), -delta.readme_turn_penalty, atol=1e-6
+    )
+
+    # 90-degree turn (+y, action 1): cos=0 -> half penalty
+    _, tr_turn = methane.step_noise(state, jnp.int32(1), zero, delta)
+    np.testing.assert_allclose(
+        float(tr_turn.info.move_penalty), -delta.readme_turn_penalty / 2, atol=1e-6
+    )

@@ -61,6 +61,10 @@ def _apply_overrides(cfg, args):
         )
     if getattr(args, "obs_memory", False):
         cfg = cfg.replace(env=dataclasses.replace(cfg.env, obs_memory=True))
+    if getattr(args, "reward", None):
+        cfg = cfg.replace(
+            env=dataclasses.replace(cfg.env, reward_variant=args.reward)
+        )
     if getattr(args, "min_radius", None) is not None:
         cfg = cfg.replace(
             curriculum=dataclasses.replace(cfg.curriculum, min_radius=args.min_radius)
@@ -369,6 +373,11 @@ def build_parser():
                         help="terminal goal-ball crossing-depth bonus coef "
                              "(EnvConfig.terminal_depth_coef; default 0 = "
                              "reference parity)")
+        sp.add_argument("--reward", choices=["v1_0", "v1_1", "delta"],
+                        help="reward form: v1_1 (reference code), v1_0, or "
+                             "delta (the reference README's own "
+                             "R = dCH4 - 0.2*|dtheta| spec its code never "
+                             "implemented)")
         sp.add_argument("--obs-memory", action="store_true",
                         help="append [dconc, prev-action one-hot] to the obs "
                              "(run-and-tumble chemotaxis; off = reference "

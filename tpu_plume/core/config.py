@@ -118,7 +118,15 @@ class EnvConfig:
     # PPOV1.0 form (ppo0.0.py:158-187): flat move penalty, explore
     # bonus/(visits+1), flat -0.5 boundary penalty inside a 10% margin,
     # uncapped terminal bonus 100*(R0/R).
+    # "delta" is the REFERENCE README's OWN reward specification
+    # R = Δ[CH4] − 0.2·‖Δθ‖ (README.md:97-99), which no reference code
+    # implements (SURVEY.md §2.2 mismatch note): the concentration term
+    # becomes the per-step *change* coef·Δconc_n (rewarding gradient ascent
+    # instead of loitering on high concentration) and the heading-change
+    # penalty readme_turn_penalty·(1−cosΔθ)/2 is added to the move term;
+    # explore/tke/boundary/terminal shaping stay as v1_1.
     reward_variant: str = "v1_1"
+    readme_turn_penalty: float = 0.2
     conc_reward_coef: float = 2.0
     move_penalty_coef: float = 0.15
     tke_penalty_factor: float = 0.4

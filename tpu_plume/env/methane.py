@@ -314,7 +314,19 @@ def step_noise(
     obs = observe(new_state, cfg, bank)
 
     tke_n = cur_tke / tke_norm
-    conc_reward = cfg.conc_reward_coef * cur_conc_n
+    if cfg.reward_variant == "delta":
+        # README-specified reward R = Δ[CH4] − 0.2‖Δθ‖ (reference
+        # README.md:97-99; implemented by no reference code — SURVEY §2.2):
+        # reward the concentration *change* (gradient ascent), penalize
+        # heading changes by (1−cosΔθ)/2 ∈ {0, ½, 1} for axis actions.
+        conc_reward = cfg.conc_reward_coef * (cur_conc_n - prev_conc_n)
+        d_prev = _action_delta(state.prev_action, cfg)
+        dot = jnp.sum(d_prev * delta)
+        norms = jnp.linalg.norm(d_prev) * delta_norm
+        cos = jnp.where(norms > 0.0, dot / jnp.maximum(norms, 1e-6), 1.0)
+        move_penalty = move_penalty - cfg.readme_turn_penalty * 0.5 * (1.0 - cos)
+    else:
+        conc_reward = cfg.conc_reward_coef * cur_conc_n
     tke_penalty = -cfg.tke_penalty_factor * tke_n
     total_reward = (
         conc_reward + explore_reward + move_penalty + tke_penalty + boundary_penalty
