@@ -137,3 +137,19 @@ def test_gail_pipeline(tmp_path, closed_loop):
     assert res.episodes > 0
     assert (tmp_path / "gail" / "model" / "ppo_gail.pth").exists()
     assert (tmp_path / "gail" / "model" / "discriminator.pth").exists()
+
+    if closed_loop:
+        # Anneal path: the imitation weight must decay toward 0 across
+        # iterations and be logged in the curve (the study's recipe).
+        res2 = train_ppo_gail(
+            cfg, str(tmp_path / "gail_anneal"), expert_path,
+            closed_loop=True, gail_reward_coef=0.1,
+            gail_anneal_episodes=res.episodes,  # fully decayed by the end
+            max_iterations=3, verbose=False,
+        )
+        curve = (tmp_path / "gail_anneal" / "curve.csv").read_text().splitlines()
+        assert curve[0].split(",")[-1] == "gail_coef"
+        coefs = [float(r.split(",")[-1]) for r in curve[1:]]
+        assert coefs[0] == pytest.approx(0.1)
+        assert coefs[-1] < coefs[0]
+        assert res2.episodes > 0

@@ -178,6 +178,7 @@ def cmd_train_gail(args):
     res = train_ppo_gail(
         cfg, args.out, args.expert,
         closed_loop=args.closed_loop, gail_reward_coef=args.gail_coef,
+        gail_anneal_episodes=args.gail_anneal,
         max_iterations=args.iterations,
     )
     print(json.dumps({"episodes": res.episodes, "successes": res.successes,
@@ -419,6 +420,10 @@ def build_parser():
     sp.add_argument("--closed-loop", action="store_true")
     sp.add_argument("--gail-coef", type=float, default=0.1,
                     help="imitation-reward weight (closed loop only)")
+    sp.add_argument("--gail-anneal", type=int,
+                    help="linearly decay the imitation weight to 0 over the "
+                         "first N episodes (bootstrap without the "
+                         "expert-capped asymptote)")
     sp.set_defaults(fn=cmd_train_gail)
 
     sp = sub.add_parser("train-lstm", help="LSTM stop-predictor training")

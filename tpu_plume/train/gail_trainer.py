@@ -69,15 +69,18 @@ def build_gail_train_step(
     expert_actions: jnp.ndarray,
     *,
     closed_loop: bool = False,
-    gail_reward_coef: float = 0.1,
     disc_batch: int = 1024,
 ):
+    """The imitation-reward weight is a DEVICE argument (not a traced
+    constant) so the host can anneal it across iterations without
+    recompiling — the closed-loop study's practical recipe (RESULTS.md):
+    bootstrap with imitation, anneal to 0 for the precision endgame."""
     env_cfg, ppo_cfg, cur_cfg = cfg.env, cfg.ppo, cfg.curriculum
     T = cfg.rollout.unroll_length
     num_actions = cfg.env.num_actions
     expert_n = expert_states.shape[0]
 
-    def train_step(carry: GAILCarry):
+    def train_step(carry: GAILCarry, gail_coef: jnp.ndarray):
         loop, disc_state = carry.ppo, carry.disc_state
         key, k_update, k_exp, k_pol = jax.random.split(loop.key, 4)
 
@@ -101,7 +104,7 @@ def build_gail_train_step(
             # imitation reward -log(1 - D) == softplus(logit)
             logits_d = disc_state.apply_fn(disc_state.params, obs_flat, act_oh)
             imit = jax.nn.softplus(logits_d).reshape(traj.reward.shape)
-            rewards = rewards + gail_reward_coef * imit
+            rewards = rewards + gail_coef * imit
 
         advantages, returns = compute_gae(
             rewards, traj.value, traj.done, bootstrap, ppo_cfg.gamma, ppo_cfg.gae_lambda
@@ -169,9 +172,14 @@ def train_ppo_gail(
     *,
     closed_loop: bool = False,
     gail_reward_coef: float = 0.1,
+    gail_anneal_episodes: int | None = None,
     max_iterations: int | None = None,
     verbose: bool = True,
 ) -> GAILResult:
+    """``gail_anneal_episodes=K`` decays the closed-loop imitation weight
+    linearly from ``gail_reward_coef`` to 0 over the first K episodes —
+    imitation bootstrap without the expert-capped asymptote (RESULTS.md
+    closed-loop study)."""
     from tpu_plume.data.expert import load_expert_data
 
     if cfg.ppo.arch != "mlp":
@@ -198,7 +206,7 @@ def train_ppo_gail(
     carry = GAILCarry(ppo=loop, disc_state=make_disc_state(cfg, k_disc))
     train_step = build_gail_train_step(
         cfg, jnp.asarray(e_states), jnp.asarray(e_actions),
-        closed_loop=closed_loop, gail_reward_coef=gail_reward_coef,
+        closed_loop=closed_loop,
     )
 
     episodes = successes = 0
@@ -210,11 +218,14 @@ def train_ppo_gail(
     curve_path = os.path.join(out_dir, "curve.csv")
     with open(curve_path, "w") as f:
         f.write("iteration,episodes,successes,success_rate,mean_reward,"
-                "disc_loss,disc_acc,radius\n")
+                "disc_loss,disc_acc,radius,gail_coef\n")
     while episodes < cfg.total_episodes:
         if max_iterations is not None and iteration >= max_iterations:
             break
-        carry, stats = train_step(carry)
+        coef = gail_reward_coef
+        if gail_anneal_episodes:
+            coef *= max(0.0, 1.0 - episodes / gail_anneal_episodes)
+        carry, stats = train_step(carry, jnp.float32(coef))
         # one stacked transfer for all scalars (tunnel round trips are ~25ms)
         flat, treedef = jax.tree.flatten(stats)
         stats = jax.tree.unflatten(treedef, list(np.asarray(jnp.stack(flat))))
@@ -230,7 +241,8 @@ def train_ppo_gail(
                 f"{float(stats['rollout/mean_reward']):.4f},"
                 f"{float(stats['gail/disc_loss']):.4f},"
                 f"{float(stats['gail/disc_acc']):.4f},"
-                f"{float(stats['curriculum/radius']):.2f}\n"
+                f"{float(stats['curriculum/radius']):.2f},"
+                f"{coef:.5f}\n"
             )
         if verbose and iteration % 10 == 0:
             print(
