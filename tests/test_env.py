@@ -231,6 +231,14 @@ def test_terminal_depth_bonus():
         float(tr_deep.reward - tr_base.reward), expect, rtol=1e-4
     )
 
+    # terminal_depth_power sharpens the bonus: coef * depth**p.
+    deep2 = dataclasses.replace(deep, terminal_depth_power=2.0)
+    _, tr_deep2 = methane.step_noise(state, jnp.int32(0), zero, deep2)
+    expect2 = 100.0 * ((50.0 - d) / 50.0) ** 2
+    np.testing.assert_allclose(
+        float(tr_deep2.reward - tr_base.reward), expect2, rtol=1e-4
+    )
+
 
 def test_obs_memory_extension():
     """obs_memory appends [dconc/peak, one-hot(prev action)]: dim 6+1+5,

@@ -153,3 +153,16 @@ def test_gail_pipeline(tmp_path, closed_loop):
         assert coefs[0] == pytest.approx(0.1)
         assert coefs[-1] < coefs[0]
         assert res2.episodes > 0
+
+        # Event-triggered anneal: a radius threshold the curriculum never
+        # reaches keeps the weight at full strength throughout.
+        res3 = train_ppo_gail(
+            cfg, str(tmp_path / "gail_hold"), expert_path,
+            closed_loop=True, gail_reward_coef=0.1,
+            gail_anneal_episodes=10, gail_anneal_radius=0.01,
+            max_iterations=3, verbose=False,
+        )
+        curve3 = (tmp_path / "gail_hold" / "curve.csv").read_text().splitlines()
+        coefs3 = [float(r.split(",")[-1]) for r in curve3[1:]]
+        assert all(c == pytest.approx(0.1) for c in coefs3)
+        assert res3.episodes > 0

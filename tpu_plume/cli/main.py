@@ -59,6 +59,10 @@ def _apply_overrides(cfg, args):
         cfg = cfg.replace(
             env=dataclasses.replace(cfg.env, terminal_depth_coef=args.depth_coef)
         )
+    if getattr(args, "depth_power", None) is not None:
+        cfg = cfg.replace(
+            env=dataclasses.replace(cfg.env, terminal_depth_power=args.depth_power)
+        )
     if getattr(args, "obs_memory", False):
         cfg = cfg.replace(env=dataclasses.replace(cfg.env, obs_memory=True))
     if getattr(args, "reward", None):
@@ -179,6 +183,7 @@ def cmd_train_gail(args):
         cfg, args.out, args.expert,
         closed_loop=args.closed_loop, gail_reward_coef=args.gail_coef,
         gail_anneal_episodes=args.gail_anneal,
+        gail_anneal_radius=args.gail_anneal_radius,
         max_iterations=args.iterations,
     )
     print(json.dumps({"episodes": res.episodes, "successes": res.successes,
@@ -374,6 +379,10 @@ def build_parser():
                         help="terminal goal-ball crossing-depth bonus coef "
                              "(EnvConfig.terminal_depth_coef; default 0 = "
                              "reference parity)")
+        sp.add_argument("--depth-power", type=float,
+                        help="exponent on the normalized crossing depth "
+                             "(EnvConfig.terminal_depth_power; >1 pays "
+                             "grazes ~nothing, keeping a smooth gradient)")
         sp.add_argument("--reward", choices=["v1_0", "v1_1", "delta"],
                         help="reward form: v1_1 (reference code), v1_0, or "
                              "delta (the reference README's own "
@@ -421,9 +430,14 @@ def build_parser():
     sp.add_argument("--gail-coef", type=float, default=0.1,
                     help="imitation-reward weight (closed loop only)")
     sp.add_argument("--gail-anneal", type=int,
-                    help="linearly decay the imitation weight to 0 over the "
-                         "first N episodes (bootstrap without the "
-                         "expert-capped asymptote)")
+                    help="linearly decay the imitation weight to 0 over N "
+                         "episodes (bootstrap without the expert-capped "
+                         "asymptote)")
+    sp.add_argument("--gail-anneal-radius", type=float,
+                    help="start the --gail-anneal decay only once the "
+                         "curriculum radius first reaches this value "
+                         "(event-triggered; default: decay from episode 0, "
+                         "which measured as forfeiting the bootstrap)")
     sp.set_defaults(fn=cmd_train_gail)
 
     sp = sub.add_parser("train-lstm", help="LSTM stop-predictor training")

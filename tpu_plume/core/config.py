@@ -142,6 +142,13 @@ class EnvConfig:
     # eval protocol (PPOV2.0/config.py:43).  0 disables (default;
     # reference parity).
     terminal_depth_coef: float = 0.0
+    # Exponent on the normalized crossing depth.  1.0 = linear (round-2
+    # default).  >1 concentrates the bonus on genuinely deep crossings:
+    # with move_step 25 a radius-50 crossing lands in (25, 50], i.e.
+    # depth in [0, 0.5), and the protocol's success@40 needs depth >= 0.2
+    # — power 2-3 pays a graze (depth 0.04) ~nothing while keeping a
+    # smooth gradient, unlike a hard 1[d<=40] bonus.
+    terminal_depth_power: float = 1.0
     # v1_0-only knobs (PPOV1.0/ppo0.0.py:166-183)
     v10_flat_move_penalty: float = 0.05
     v10_boundary_margin_frac: float = 0.1

@@ -354,6 +354,8 @@ def step_noise(
         )
     if cfg.terminal_depth_coef:
         depth = jnp.maximum(state.radius - distance, 0.0) / state.radius
+        if cfg.terminal_depth_power != 1.0:
+            depth = depth ** cfg.terminal_depth_power
         terminal_bonus = terminal_bonus + cfg.terminal_depth_coef * depth
     total_reward = total_reward + jnp.where(reached, terminal_bonus, 0.0)
 

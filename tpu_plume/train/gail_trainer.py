@@ -173,13 +173,18 @@ def train_ppo_gail(
     closed_loop: bool = False,
     gail_reward_coef: float = 0.1,
     gail_anneal_episodes: int | None = None,
+    gail_anneal_radius: float | None = None,
     max_iterations: int | None = None,
     verbose: bool = True,
 ) -> GAILResult:
     """``gail_anneal_episodes=K`` decays the closed-loop imitation weight
-    linearly from ``gail_reward_coef`` to 0 over the first K episodes —
-    imitation bootstrap without the expert-capped asymptote (RESULTS.md
-    closed-loop study)."""
+    linearly from ``gail_reward_coef`` to 0 over K episodes — imitation
+    bootstrap without the expert-capped asymptote (RESULTS.md closed-loop
+    study).  By default the decay starts at episode 0; measured, that
+    forfeits the bootstrap (the weight is half-gone before the fast early
+    curriculum pays off).  ``gail_anneal_radius=R`` makes the decay
+    event-triggered instead: full weight until the curriculum radius first
+    reaches R, then the K-episode linear decay."""
     from tpu_plume.data.expert import load_expert_data
 
     if cfg.ppo.arch != "mlp":
@@ -219,12 +224,13 @@ def train_ppo_gail(
     with open(curve_path, "w") as f:
         f.write("iteration,episodes,successes,success_rate,mean_reward,"
                 "disc_loss,disc_acc,radius,gail_coef\n")
+    anneal_start = 0 if gail_anneal_radius is None else None
     while episodes < cfg.total_episodes:
         if max_iterations is not None and iteration >= max_iterations:
             break
         coef = gail_reward_coef
-        if gail_anneal_episodes:
-            coef *= max(0.0, 1.0 - episodes / gail_anneal_episodes)
+        if gail_anneal_episodes and anneal_start is not None:
+            coef *= max(0.0, 1.0 - (episodes - anneal_start) / gail_anneal_episodes)
         carry, stats = train_step(carry, jnp.float32(coef))
         # one stacked transfer for all scalars (tunnel round trips are ~25ms)
         flat, treedef = jax.tree.flatten(stats)
@@ -234,6 +240,11 @@ def train_ppo_gail(
         it_succ = int(stats["rollout/successes"])
         episodes += it_eps
         successes += it_succ
+        if (
+            anneal_start is None
+            and float(stats["curriculum/radius"]) <= gail_anneal_radius
+        ):
+            anneal_start = episodes
         with open(curve_path, "a") as f:
             f.write(
                 f"{iteration},{episodes},{successes},"

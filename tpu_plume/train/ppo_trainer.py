@@ -357,8 +357,8 @@ def train_ppo(
         csv_logger is not None or nc_writer is not None or conc_csv_path
     )
     if sync_every is None:
-        sync_every = 1 if need_records else 8
-    # Pipeline: device stats/trajs ride in `pending` while the chip runs
+        sync_every = 8
+    # Pipeline: device stats/records ride in `pending` while the chip runs
     # ahead; the host consumes them sync_every iterations late.  Each
     # train_step consumes the previous carry, so popping entry i blocks
     # until iteration i has truly executed (the backend's
@@ -367,38 +367,45 @@ def train_ppo(
 
     pending: deque = deque()
 
-    def _drain(it, stats, traj):
-        nonlocal nc_written
-        if traj is None:
-            return
+    # Per-episode record fields the CSV logger consumes ([T, N] masked
+    # arrays); the NC/conc-CSV drain additionally needs the trajectory.
+    REC_KEYS = (
+        "done", "success", "total_reward", "steps", "conc_reward",
+        "explore_reward", "move_penalty", "tke_penalty",
+        "boundary_penalty", "final_conc", "radius",
+    )
+    with_traj = nc_writer is not None or bool(conc_csv_path)
+
+    def _record_device_tree(traj):
+        """The subset of the on-device trajectory the host drain needs —
+        kept as device refs in `pending`; transferred packed, per window."""
         ep = traj.episode
-        rec_np = {
-            "done": np.asarray(ep.done),
-            "success": np.asarray(ep.success),
-            "total_reward": np.asarray(ep.total_reward),
-            "steps": np.asarray(ep.steps),
-            "conc_reward": np.asarray(ep.conc_reward),
-            "explore_reward": np.asarray(ep.explore_reward),
-            "move_penalty": np.asarray(ep.move_penalty),
-            "tke_penalty": np.asarray(ep.tke_penalty),
-            "boundary_penalty": np.asarray(ep.boundary_penalty),
-            "final_conc": np.asarray(ep.final_conc),
-            "radius": np.asarray(ep.radius),
-        }
+        d = {k: getattr(ep, k) for k in REC_KEYS}
+        if with_traj:
+            d["pos"] = traj.pos
+            d["conc"] = traj.conc
+            d["final_x"] = ep.final_x
+            d["final_y"] = ep.final_y
+        return d
+
+    def _drain(it, rec):
+        nonlocal nc_written
+        if rec is None:
+            return
         if csv_logger is not None:
-            csv_logger.log_records(rec_np)
-        if nc_writer is not None or conc_csv_path:
+            csv_logger.log_records({k: rec[k] for k in REC_KEYS})
+        if with_traj:
             traj_np = {
-                "pos": np.asarray(traj.pos),
-                "conc": np.asarray(traj.conc),
-                "done": rec_np["done"],
-                "steps": rec_np["steps"],
+                "pos": rec["pos"],
+                "conc": rec["conc"],
+                "done": rec["done"],
+                "steps": rec["steps"],
                 "episode": {
-                    "success": rec_np["success"],
-                    "final_conc": rec_np["final_conc"],
-                    "final_x": np.asarray(ep.final_x),
-                    "final_y": np.asarray(ep.final_y),
-                    "radius": rec_np["radius"],
+                    "success": rec["success"],
+                    "final_conc": rec["final_conc"],
+                    "final_x": rec["final_x"],
+                    "final_y": rec["final_y"],
+                    "radius": rec["radius"],
                 },
             }
             for done_ep in assembler.drain(traj_np):
@@ -467,21 +474,37 @@ def train_ppo(
                     flush=True,
                 )
 
+    # Pack an entire window of (stats, records) pytrees into ONE flat f32
+    # device array: on the tunneled backend every device->host transfer
+    # costs a full ~30 ms round trip regardless of size, so per-field
+    # np.asarray drains (~14 transfers/iteration) are what made
+    # record-producing runs 20x slower than --no-csv runs.  f32 packing is
+    # lossless here: bools and the <= max_steps int32 counters are exactly
+    # representable (< 2^24).
+    _pack_window = jax.jit(
+        lambda flats: jnp.concatenate(
+            [x.astype(jnp.float32).ravel() for fl in flats for x in fl]
+        )
+    )
+
     def consume():
-        # Drain the WHOLE pending window with ONE stacked device->host
-        # transfer: on the tunneled backend every transfer costs a full
-        # ~30 ms round trip regardless of size, so batching the window's
-        # scalar stats is what actually hides the host latency (one
-        # transfer per iteration re-serializes to ~64 ms/iter).
         nonlocal episodes, successes, t_steady, it_at_steady
         window = list(pending)
         pending.clear()
-        flat0, treedef = jax.tree.flatten(window[0][1])
-        stacked = np.asarray(
-            jnp.stack([jnp.stack(jax.tree.flatten(st)[0]) for _, st, _ in window])
-        )
-        for row, (it, _, traj) in zip(stacked, window):
-            stats = jax.tree.unflatten(treedef, list(row))
+        entries = [(st, rec) for _, st, rec in window]
+        flat0, treedef = jax.tree.flatten(entries[0])
+        shapes = [(l.shape, np.dtype(l.dtype)) for l in flat0]
+        sizes = [int(np.prod(s)) for s, _ in shapes]
+        buf = np.asarray(_pack_window([jax.tree.flatten(e)[0] for e in entries]))
+        off = 0
+        for it, _, _ in window:
+            leaves = []
+            for (shape, dtype), nsz in zip(shapes, sizes):
+                leaves.append(
+                    buf[off:off + nsz].reshape(shape).astype(dtype, copy=False)
+                )
+                off += nsz
+            stats, rec = jax.tree.unflatten(treedef, leaves)
             # NaN tripwire — the reference raises on NaN logits/probs
             # (PPOV1.1/model.py:47-49, PPOV2.0/train_ppo2.0.py:57-62); the
             # whole-iteration loss is the canary (<= sync_every late).
@@ -493,7 +516,7 @@ def train_ppo(
             if t_steady is None:
                 t_steady = time.perf_counter()
                 it_at_steady = it
-            _drain(it, stats, traj)
+            _drain(it, rec)
             episodes += int(stats["rollout/episodes"])
             successes += int(stats["rollout/successes"])
             _log(it, stats)
@@ -505,7 +528,10 @@ def train_ppo(
             jax.profiler.start_trace(os.path.join(out_dir, "profile"))
         watch.start("step")
         loop, stats, traj = train_step(loop)
-        pending.append((iteration + 1, stats, traj if need_records else None))
+        pending.append(
+            (iteration + 1, stats,
+             _record_device_tree(traj) if need_records else None)
+        )
         iteration += 1
         env_steps += per_iter_steps
         if len(pending) >= max(sync_every, 1):
