@@ -1,0 +1,149 @@
+"""Terminal-guidance tests: trilateration accuracy + guided-eval behavior.
+
+The guide (evaluation/guidance.py) exists because every policy — ours and
+both of the reference's committed runs — lands goal-ball crossings on a
+~uniform chord (success-case deviation 34.3-34.8 px in all runs); it
+phase-controls the final step from an online least-squares source fit.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_plume.core.config import EnvConfig, EvalConfig
+from tpu_plume.env import methane
+from tpu_plume.evaluation import evaluate_policy
+from tpu_plume.evaluation.guidance import (
+    GuideConfig,
+    guide_init,
+    guide_step,
+    make_guide,
+)
+from tpu_plume.models import ActorCritic
+
+
+def test_trilateration_recovers_source():
+    """Noiseless samples of the isotropic model pin the source to <1 px."""
+    cfg = EnvConfig(turbulence_intensity=1e-9)
+    gcfg = GuideConfig(min_samples=5)
+    src = jnp.array([312.0, 187.0])
+    sigma2 = cfg.plume_sigma**2
+
+    gs = guide_init(gcfg)
+    rng = np.random.default_rng(0)
+    step = jax.jit(lambda gs, p, c, a: guide_step(gs, p, c, a, cfg, gcfg))
+    for _ in range(24):
+        pos = jnp.asarray(src + rng.uniform(-70, 70, 2), jnp.float32)
+        d2 = jnp.sum((pos - src) ** 2)
+        conc = cfg.conc_peak * jnp.exp(-d2 / (2 * sigma2))
+        gs, action, on = step(gs, pos, conc, jnp.int32(0))
+    assert bool(gs.est_ok)
+    assert float(jnp.linalg.norm(gs.est - src)) < 1.0
+
+
+def test_guide_fit_rejects_ill_conditioned():
+    """Collinear samples (zero spread on one axis) must never validate the
+    fit — the posterior-se gate blocks est_ok (hover may still engage;
+    that IS the designed response to a degenerate sample geometry)."""
+    cfg = EnvConfig(turbulence_intensity=1e-9)
+    gcfg = GuideConfig(min_samples=5)
+    src = jnp.array([250.0, 250.0])
+    sigma2 = cfg.plume_sigma**2
+    gs = guide_init(gcfg)
+    step = jax.jit(lambda gs, p, c, a: guide_step(gs, p, c, a, cfg, gcfg))
+    for x in np.linspace(150, 190, 20):
+        pos = jnp.array([x, 250.0], jnp.float32)  # one flight line
+        d2 = jnp.sum((pos - src) ** 2)
+        conc = cfg.conc_peak * jnp.exp(-d2 / (2 * sigma2))
+        gs, action, on = step(gs, pos, conc, jnp.int32(0))
+        assert not bool(gs.est_ok)
+
+
+def test_guide_phase_controls_crossing():
+    """With a converged estimate, the guide never takes a shallow crossing
+    step when a set-up move exists: from any position outside the ball the
+    chosen action either lands <= deep_target or stays outside."""
+    cfg = EnvConfig(turbulence_intensity=1e-9)
+    gcfg = GuideConfig(min_samples=5)
+    src = jnp.array([250.0, 250.0])
+    sigma2 = cfg.plume_sigma**2
+    gs = guide_init(gcfg)
+    step = jax.jit(lambda gs, p, c, a: guide_step(gs, p, c, a, cfg, gcfg))
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        pos = jnp.asarray(src + rng.uniform(-60, 60, 2), jnp.float32)
+        d2 = jnp.sum((pos - src) ** 2)
+        conc = cfg.conc_peak * jnp.exp(-d2 / (2 * sigma2))
+        gs, _, _ = step(gs, pos, conc, jnp.int32(0))
+    assert bool(gs.est_ok)
+
+    deltas = np.asarray(methane._action_delta(jnp.arange(5), cfg))
+    for ang in np.linspace(0, 2 * np.pi, 13):
+        for dist in (52.0, 60.0, 68.0, 74.0):
+            pos = jnp.asarray(
+                src + dist * jnp.array([np.cos(ang), np.sin(ang)]), jnp.float32
+            )
+            d2 = jnp.sum((pos - src) ** 2)
+            conc = cfg.conc_peak * jnp.exp(-d2 / (2 * sigma2))
+            gs2, action, on = step(gs, pos, conc, jnp.int32(0))
+            assert bool(on)
+            land = np.linalg.norm(
+                np.asarray(pos) + deltas[int(action)] - np.asarray(src)
+            )
+            assert land <= gcfg.deep_target + 1.5 or land > gcfg.terminate_radius, (
+                ang, dist, land,
+            )
+
+
+def _raster_apply(cfg):
+    """Memoryless boustrophedon sweep expressed as logits of obs — a
+    deterministic find-the-plume surrogate so the e2e test doesn't depend
+    on a trained checkpoint.  Actions: 0 stay, 1 +y, 2 -y, 3 +x, 4 -x."""
+    g = float(cfg.grid_size)
+
+    def apply_fn(params, obs):
+        x = obs[..., 0] * g
+        y = obs[..., 1] * g
+        band = jnp.floor(y / 35.0).astype(jnp.int32)
+        going_right = band % 2 == 0
+        at_right = x >= g - 30.0
+        at_left = x <= 30.0
+        turn = jnp.where(going_right, at_right, at_left)
+        action = jnp.where(turn, 1, jnp.where(going_right, 3, 4))
+        logits = jax.nn.one_hot(action, cfg.num_actions) * 50.0
+        return logits, jnp.zeros(obs.shape[:-1])
+
+    return apply_fn
+
+
+def test_guided_eval_beats_chord_geometry():
+    """End-to-end: the guided raster converts shallow chord crossings into
+    hover-then-dive deep landings — success rate well above the unguided
+    ~28% and a deep (<=36 px) landing cluster that chord geometry can't
+    produce (measured: guided 0.51-0.56 vs plain 0.28 at 96 episodes)."""
+    cfg = EnvConfig(max_steps=800, plume_sigma=500 / 16)
+    ev = EvalConfig(episodes=64, success_distance=40.0)
+    apply_fn = _raster_apply(cfg)
+
+    m_guided = evaluate_policy(
+        {}, apply_fn, cfg, ev, jax.random.PRNGKey(1),
+        guide=make_guide(cfg),
+    )
+    m_plain = evaluate_policy({}, apply_fn, cfg, ev, jax.random.PRNGKey(1))
+    dev = m_guided.deviations
+    assert m_guided.success.sum() >= 20
+    assert m_guided.success.mean() > m_plain.success.mean() + 0.1
+    # the deep-landing cluster: many successes land at <= 36 px, which an
+    # uncontrolled 25-px-step chord crossing essentially never does in bulk
+    assert (dev <= 36).sum() >= 0.25 * (dev <= 50).sum()
+
+
+def test_make_guide_gates_unsupported_models():
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_guide(EnvConfig(plume_model="anisotropic"))
+    with pytest.raises(ValueError):
+        make_guide(dataclasses.replace(EnvConfig(), env_3d=True))

@@ -237,10 +237,16 @@ def cmd_eval(args):
     from tpu_plume.models.recurrent import RecurrentActorCritic
 
     rnn = model if isinstance(model, RecurrentActorCritic) else None
+    guide = None
+    if args.guide == "fit":
+        from tpu_plume.evaluation.guidance import make_guide
+
+        guide = make_guide(cfg.env)
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
         goal_radius=args.goal_radius, bank=_make_bank(args, cfg), rnn=rnn,
+        guide=guide,
     )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -457,6 +463,12 @@ def build_parser():
     sp.add_argument("--goal-radius", type=float,
                     help="episode-termination radius (default: INITIAL_RADIUS=50, "
                          "the reference protocol; set 5.0 for the precision metric)")
+    sp.add_argument("--guide", choices=["none", "fit"], default="none",
+                    help="terminal guidance: 'fit' trilaterates the source "
+                         "online from the agent's own concentration samples "
+                         "and phase-controls the goal-ball crossing "
+                         "(evaluation.guidance; reported separately from "
+                         "protocol-faithful rows)")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("expert", help="generate expert demonstrations")

@@ -1,0 +1,411 @@
+"""Model-based terminal guidance: online source trilateration + crossing
+phase control, fully jittable inside the eval scan.
+
+Why this exists (measured, RESULTS.md round 2): under the reference eval
+protocol the episode ends at the FIRST crossing of the radius-50 goal ball,
+and a 25-px/step policy crossing on a random chord lands uniformly-ish in
+(25, 50] — every feedforward/recurrent policy we or the reference trained
+pins the success@40 *conditional* at ~33% (success-case deviation 34.3-34.8
+in every run, including both of the reference's committed runs,
+PPOV2.0/READ.ME:31-70).  Beating that number is a *control* problem, not a
+shaping problem: the agent must (a) know where the source is and (b) time
+its final step so the crossing lands deep.
+
+The guide does both with the same field knowledge the reference's own
+evaluators already assume (known peak: ``conc > 0.8*peak`` gate,
+PPOV1.1/evaluate_model.py:25-37; the V2.1 zoo's ``GaussianParamPredictor``
+is the reference's learned sketch of the same idea, PPOV2.1/model.py:308):
+
+  - invert the isotropic plume model ``conc = peak*exp(-d^2/2sigma^2)`` at
+    every visited cell into a distance ring ``r_i``, and solve the weighted
+    linear least-squares trilateration for the source position from the
+    agent's own sample history (a rank-2 normal system, closed-form);
+  - once the estimate is well-conditioned, steer with a 5-way lookahead:
+    take a crossing step only when it lands deeper than ``deep_target``;
+    otherwise maneuver outside the goal ball to set up a radial final step.
+
+TPU-native: fixed-size ring buffer carried through the scan, one-hot
+writes, a closed-form 2x2 solve per step per env — no data-dependent
+shapes, vmappable across all eval episodes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpu_plume.core.config import EnvConfig
+from tpu_plume.env.methane import _action_delta
+
+
+@dataclasses.dataclass(frozen=True)
+class GuideConfig:
+    buffer_size: int = 128
+    # accept samples with debiased conc/peak in [floor, ceil] — below the
+    # floor the inverted radius is noise-dominated (the turbulence term is
+    # NON-zero-mean: TI*(|N| + 0.3 sin cos + 0.2 U) has mean ~0.9*TI,
+    # fields/analytic.py:7, so far-field cells read as bogus ~2.5-sigma
+    # rings unless both debiased and floored); above the ceil it saturates.
+    # The floor trades annulus width against SNR: the episode ends at the
+    # first d<=50 crossing, so ALL usable samples come from the d in
+    # (50, ~85] annulus; at conc_n=0.03 the per-sample radius error is
+    # sigma^2*noise_std/(r*conc_n) ~ 7 px — fine under the conc^2 weights.
+    conc_floor: float = 0.03
+    conc_ceil: float = 0.98
+    # counts inlier samples after the robust cut
+    min_samples: int = 5
+    # posterior worst-direction standard error (px) the fit must reach
+    # before the guide may dive — covers both geometry (spread) and radius
+    # consistency; the dive's landing error is ~this.
+    max_se: float = 6.0
+    # weighted RMS radial residual (px) sanity bound
+    max_residual: float = 12.0
+    # goal-ball radius the episode terminates at (reference INITIAL_RADIUS)
+    terminate_radius: float = 50.0
+    # land at most this deep — margin under the success@40 line for the
+    # stochastic turbulence displacement of the executed move plus the
+    # fit's max_se.
+    deep_target: float = 32.0
+    # hover entry: a single >= enter_strong read, or a readable step
+    # followed by an >= enter_weak read (both in debiased conc_n units)
+    enter_weak: float = 0.045
+    enter_strong: float = 0.06
+    # preferred pre-crossing distance: one radial 25-px step from here
+    # lands at ~setup_distance - move_step.
+    setup_distance: float = 58.0
+    # --- hover (active sensing) band.  A radial approach crosses the
+    # usable annulus in 1-2 steps — too few samples for the fit to ever
+    # condition.  On first contact (pointwise distance <= hover_outer) the
+    # guide takes control and staircases around [hover_inner, hover_outer],
+    # where no single 25-px move can reach the d<=50 terminator, until the
+    # fit conditions.  The staircase alternates axes, so it supplies the
+    # 2-D sample spread the estimator needs *by construction*.
+    point_floor: float = 0.03   # conc_n above which the pointwise d is trusted
+    probe_in_min: float = 80.0  # inward probes only from here out: a
+                                # radial 25-px move + turbulence jitter
+                                # lands >= ~51 — the d<=50 terminator is
+                                # unreachable in one step
+    # consecutive sub-floor steps before hover concedes the plume was lost
+    lost_patience: int = 10
+
+
+@struct.dataclass
+class GuideState:
+    pos_buf: jnp.ndarray  # f32[K, 2] sample positions
+    r2_buf: jnp.ndarray   # f32[K] inverted squared source distances
+    w_buf: jnp.ndarray    # f32[K] sample weights (0 = empty slot)
+    count: jnp.ndarray    # i32 accepted samples (monotonic)
+    est: jnp.ndarray      # f32[2] source estimate
+    est_ok: jnp.ndarray   # bool
+    # hover FSM registers
+    mode: jnp.ndarray       # i32: 0 = defer to policy, 1 = hover
+    d_prev: jnp.ndarray     # f32 last trusted pointwise distance
+    d_prev_ok: jnp.ndarray  # bool
+    last_action: jnp.ndarray  # i32 action the guide returned last step
+    sign_x: jnp.ndarray     # f32 +-1: x direction judged INWARD
+    know_x: jnp.ndarray     # bool
+    mag_x: jnp.ndarray      # f32 |last radial delta| measured on x moves
+    sign_y: jnp.ndarray     # f32
+    know_y: jnp.ndarray     # bool
+    mag_y: jnp.ndarray      # f32
+    axis_next: jnp.ndarray  # i32 0 = x, 1 = y (staircase alternator)
+    low_count: jnp.ndarray  # i32 consecutive sub-floor steps
+    streak: jnp.ndarray     # i32 consecutive readable (>= floor) steps
+    best_conc: jnp.ndarray  # f32 highest conc_n contact so far
+    best_pos: jnp.ndarray   # f32[2] its position (always outside the ball)
+
+
+def guide_init(gcfg: GuideConfig) -> GuideState:
+    k = gcfg.buffer_size
+    z = jnp.zeros((), jnp.float32)
+    zi = jnp.zeros((), jnp.int32)
+    zb = jnp.zeros((), bool)
+    return GuideState(
+        pos_buf=jnp.zeros((k, 2), jnp.float32),
+        r2_buf=jnp.zeros((k,), jnp.float32),
+        w_buf=jnp.zeros((k,), jnp.float32),
+        count=zi,
+        est=jnp.zeros((2,), jnp.float32),
+        est_ok=zb,
+        mode=zi,
+        d_prev=z,
+        d_prev_ok=zb,
+        last_action=zi,
+        sign_x=jnp.ones((), jnp.float32),
+        know_x=zb,
+        mag_x=jnp.full((), 99.0, jnp.float32),
+        sign_y=jnp.ones((), jnp.float32),
+        know_y=zb,
+        mag_y=jnp.full((), 99.0, jnp.float32),
+        axis_next=zi,
+        low_count=zi,
+        streak=zi,
+        best_conc=z,
+        best_pos=jnp.zeros((2,), jnp.float32),
+    )
+
+
+def _wlls(pos, r2, w):
+    """One weighted LLS trilateration pass.  Each sample satisfies
+    |p|^2 - 2 x_i . p + |x_i|^2 = r_i^2; subtracting the weighted-mean
+    equation removes |p|^2 and leaves the rank-2 linear system
+    (x_i - xbar) . p = (ubar - u_i)/2 with u_i = r_i^2 - |x_i|^2.
+    Returns (est, resid_rms, lam_min, wsum)."""
+    wsum = w.sum() + 1e-9
+    xbar = (w[:, None] * pos).sum(0) / wsum
+    u = r2 - jnp.sum(pos**2, axis=-1)
+    ubar = (w * u).sum() / wsum
+    dx = pos - xbar                  # [K, 2]
+    c = 0.5 * (ubar - u)             # [K]
+    m = (w[:, None, None] * dx[:, :, None] * dx[:, None, :]).sum(0)  # [2,2]
+    v = (w[:, None] * c[:, None] * dx).sum(0)                        # [2]
+    det = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    inv = jnp.array([[m[1, 1], -m[0, 1]], [-m[1, 0], m[0, 0]]]) / (det + 1e-9)
+    est = inv @ v
+    tr = m[0, 0] + m[1, 1]
+    lam_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr**2 - 4.0 * det, 0.0)))
+    d_est = jnp.linalg.norm(pos - est[None, :], axis=-1)
+    resid = jnp.sqrt(
+        (w * (d_est - jnp.sqrt(jnp.maximum(r2, 0.0))) ** 2).sum() / wsum
+    )
+    # posterior worst-direction standard error of est (px): per-unit-weight
+    # linear-system residual variance over the smallest design eigenvalue.
+    # Subsumes both "enough spread" and "consistent radii" in one number —
+    # collinear geometry drives lam_min -> 0 and the se -> infinity.
+    e_lin = (dx * est[None, :]).sum(-1) - c
+    n_eff = (w > 0).sum().astype(jnp.float32)
+    sigma0 = (w * e_lin**2).sum() / jnp.maximum(n_eff, 1.0)
+    se = jnp.sqrt(sigma0 / jnp.maximum(lam_min, 1e-6))
+    return est, resid, se, wsum
+
+
+def _solve_estimate(gs: GuideState, gcfg: GuideConfig):
+    """Robust trilateration: WLLS + two reweighting passes that zero out
+    radial-residual outliers.  Turbulence spikes at far-field cells pass
+    the acceptance floor a few percent of the time and always invert to a
+    ~2.5-sigma ring — positionally scattered, so once the true annulus
+    samples form a consistent cluster the outliers' residuals are huge and
+    the reweighting discards them."""
+    w = gs.w_buf
+    est, resid, se, wsum = _wlls(gs.pos_buf, gs.r2_buf, w)
+    for _ in range(2):
+        d_est = jnp.linalg.norm(gs.pos_buf - est[None, :], axis=-1)
+        err = jnp.abs(d_est - jnp.sqrt(jnp.maximum(gs.r2_buf, 0.0)))
+        # cut at the WEIGHTED-median error: the rms is inflated by the
+        # outliers themselves, but the high-SNR annulus samples carry most
+        # of the weight, so the weighted median lands on a good sample
+        order = jnp.argsort(err)
+        cum = jnp.cumsum(w[order])
+        med = err[order[jnp.searchsorted(cum, 0.5 * w.sum())]]
+        keep = err <= jnp.maximum(2.5 * med, 12.0)
+        w = gs.w_buf * keep
+        est, resid, se, wsum = _wlls(gs.pos_buf, gs.r2_buf, w)
+    n_eff = (w > 0).sum()
+    ok = (
+        (n_eff >= gcfg.min_samples)
+        & (se <= gcfg.max_se)
+        & (resid <= gcfg.max_residual)
+    )
+    return est, ok
+
+
+def guide_step(
+    gs: GuideState,
+    pos: jnp.ndarray,
+    conc: jnp.ndarray,
+    policy_action: jnp.ndarray,
+    cfg: EnvConfig,
+    gcfg: GuideConfig,
+):
+    """Ingest the current (pos, conc) sample, refresh the estimate, and
+    return (state', action, overriding: bool)."""
+    # Debias the additive turbulence before inverting: its mean is
+    # TI*(E|N| + 0.2*E[U]) = TI*(sqrt(2/pi) + 0.1) (the sin*cos term
+    # averages ~0 spatially) — without this, every far-field sample's
+    # log-inversion is biased toward the agent.
+    noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
+    conc_n = (conc - noise_mean) / cfg.conc_peak
+    sigma2 = cfg.plume_sigma**2
+    accept = (conc_n >= gcfg.conc_floor) & (conc_n <= gcfg.conc_ceil)
+    r2 = -2.0 * sigma2 * jnp.log(jnp.maximum(conc_n, 1e-6))
+    idx = gs.count % gcfg.buffer_size
+    slot = jnp.arange(gcfg.buffer_size) == idx
+    write = slot & accept
+    gs = gs.replace(
+        pos_buf=jnp.where(write[:, None], pos[None, :2], gs.pos_buf),
+        r2_buf=jnp.where(write, r2, gs.r2_buf),
+        # weight ~ conc^3: the log-inversion noise scales as 1/conc, and
+        # the extra power biases toward the high-SNR annulus samples over
+        # the floor-grazing noise spikes the robust solve then discards
+        w_buf=jnp.where(write, conc_n**3, gs.w_buf),
+        count=gs.count + accept.astype(jnp.int32),
+    )
+    est, ok = _solve_estimate(gs, gcfg)
+    # Safety cross-check before the guide may steer: in the high-SNR zone
+    # the POINTWISE inversion is accurate to ~2-4 px — a fit that
+    # disagrees with it is wrong regardless of its internal residual.
+    d_est_here = jnp.linalg.norm(pos[:2] - est)
+    d_point = jnp.sqrt(jnp.maximum(r2, 0.0))
+    ok = ok & jnp.where(
+        conc_n >= 0.06, jnp.abs(d_est_here - d_point) <= 10.0, True
+    )
+    gs = gs.replace(est=est, est_ok=ok)
+
+    # ---- pointwise distance + per-axis gradient-sign registers -------
+    have_d = conc_n >= gcfg.point_floor
+    d_hat = d_point
+    delta_d = d_hat - gs.d_prev
+    # a trusted move measurement: consecutive pointwise reads around an
+    # axis move, with a clearly radial component (|delta| above the
+    # turbulence-displacement noise)
+    meas = have_d & gs.d_prev_ok & (jnp.abs(delta_d) > 6.0)
+    was_y = (gs.last_action == 1) | (gs.last_action == 2)
+    was_x = (gs.last_action == 3) | (gs.last_action == 4)
+    move_sign = jnp.where(
+        (gs.last_action == 1) | (gs.last_action == 3), 1.0,
+        jnp.where((gs.last_action == 2) | (gs.last_action == 4), -1.0, 0.0),
+    )
+    inward = -jnp.sign(delta_d) * move_sign
+    sign_x = jnp.where(meas & was_x, inward, gs.sign_x)
+    know_x = gs.know_x | (meas & was_x)
+    mag_x = jnp.where(meas & was_x, jnp.abs(delta_d), gs.mag_x)
+    sign_y = jnp.where(meas & was_y, inward, gs.sign_y)
+    know_y = gs.know_y | (meas & was_y)
+    mag_y = jnp.where(meas & was_y, jnp.abs(delta_d), gs.mag_y)
+
+    # best contact so far (necessarily outside the ball: the episode would
+    # have ended otherwise) — the rally point when contact is lost
+    better = conc_n > gs.best_conc
+    best_conc = jnp.where(better, conc_n, gs.best_conc)
+    best_pos = jnp.where(better, pos[:2], gs.best_pos)
+
+    # ---- hover mode transitions --------------------------------------
+    # Entry must be VALIDATED: a single floor-grazing noise spike inverts
+    # to d_hat ~ 80 at ANY true distance (that is just what a spike looks
+    # like), so require two consecutive readable cells ending in a strong
+    # read — white per-cell noise almost never produces that, a genuine
+    # annulus entry almost always does.
+    readable = conc_n >= gcfg.conc_floor
+    streak = jnp.where(readable, gs.streak + 1, 0)
+    low = ~readable
+    low_count = jnp.where(low, gs.low_count + 1, 0)
+    # single strong read (3.3 sigma above the debiased noise) or a
+    # validated two-read sequence
+    enter = ((gs.streak >= 1) & (conc_n >= gcfg.enter_weak)) | (
+        conc_n >= gcfg.enter_strong
+    )
+    lost = low_count >= gcfg.lost_patience
+    mode = jnp.where(enter, 1, jnp.where(lost, 0, gs.mode))
+    # on losing the plume, forget stale gradient knowledge
+    know_x = know_x & ~lost
+    know_y = know_y & ~lost
+
+    # ---- hover action ------------------------------------------------
+    g2 = 0.5 * cfg.grid_size
+    csx = jnp.where(pos[0] < g2, 1.0, -1.0)  # center bias when sign unknown
+    csy = jnp.where(pos[1] < g2, 1.0, -1.0)
+    sx = jnp.where(know_x, sign_x, csx)
+    sy = jnp.where(know_y, sign_y, csy)
+    in_x = jnp.where(sx > 0, 3, 4)   # x move judged inward
+    in_y = jnp.where(sy > 0, 1, 2)
+
+    alt_x = gs.axis_next == 0
+    probe_in = jnp.where(alt_x, in_x, in_y)
+    # Bounce pattern: an inward probe is taken ONLY from d_hat >=
+    # probe_in_min, where even a fully radial 25-px move (plus turbulence
+    # jitter) cannot reach the d<=50 terminator; from anywhere deeper the
+    # guide walks back OUT — continuing its last move if that move
+    # increased d_hat, reversing it otherwise (a bare reverse-last would
+    # re-dive right after each out-step, which is exactly a shallow
+    # crossing).  In-probes alternate axes, so two bounces trace an L of
+    # samples: the 2-D spread the trilateration needs, at the annulus'
+    # highest-SNR depths.
+    rev = jnp.array([0, 2, 1, 4, 3], jnp.int32)[jnp.clip(gs.last_action, 0, 4)]
+    went_out = delta_d > 0.0
+    out_step = jnp.where(
+        gs.d_prev_ok & (gs.last_action != 0),
+        jnp.where(went_out, gs.last_action, rev),
+        jnp.where(rev == 0, probe_in, rev),
+    )
+    do_probe = d_hat >= gcfg.probe_in_min
+    hover_action = jnp.where(do_probe, probe_in, out_step)
+    # no trusted read (drifted past the floor ceiling): rally back toward
+    # the best contact seen
+    d_rally = jnp.linalg.norm(
+        pos[None, :2]
+        + _action_delta(jnp.arange(cfg.num_actions), cfg)[:, :2]
+        - best_pos[None, :],
+        axis=-1,
+    )
+    rally = jnp.argmin(jnp.where(jnp.arange(cfg.num_actions) == 0, 1e9, d_rally))
+    hover_action = jnp.where(have_d, hover_action, rally)
+
+    # ---- dive: 5-way lookahead on the deterministic move component ---
+    deltas = _action_delta(jnp.arange(cfg.num_actions), cfg)[:, :2]
+    d_next = jnp.linalg.norm(pos[None, :2] + deltas - est[None, :], axis=-1)
+    crossing = d_next <= gcfg.terminate_radius
+    deep = d_next <= gcfg.deep_target
+    score = jnp.where(
+        crossing & deep,
+        d_next,  # crossing deep: deepest wins
+        jnp.where(
+            ~crossing,
+            1e3 + jnp.abs(d_next - gcfg.setup_distance),  # set up the phase
+            2e3 + d_next,  # shallow crossing: last resort
+        ),
+    )
+    g_action = jnp.argmin(score)
+
+    hovering = (mode == 1) & ~ok
+    action = jnp.where(
+        ok, g_action, jnp.where(hovering, hover_action, policy_action)
+    ).astype(policy_action.dtype)
+    overriding = ok | hovering
+
+    gs = gs.replace(
+        mode=mode,
+        d_prev=jnp.where(have_d, d_hat, gs.d_prev),
+        d_prev_ok=have_d,
+        last_action=action.astype(jnp.int32),
+        sign_x=sign_x,
+        know_x=know_x,
+        mag_x=mag_x,
+        sign_y=sign_y,
+        know_y=know_y,
+        mag_y=mag_y,
+        # alternate probe axes per BOUNCE (i.e. per executed in-probe) —
+        # flipping every step would re-select the same axis after each
+        # back-out move
+        axis_next=jnp.where(
+            hovering & do_probe & have_d, 1 - gs.axis_next, gs.axis_next
+        ),
+        low_count=low_count,
+        streak=streak,
+        best_conc=best_conc,
+        best_pos=best_pos,
+    )
+    return gs, action, overriding
+
+
+def make_guide(cfg: EnvConfig, gcfg: GuideConfig | None = None):
+    """(init_state, step_fn) pair for evaluate_policy's guide hook.
+
+    Supported field models: the analytic isotropic Gaussian (the
+    radial-symmetric inversion).  Anisotropic / gridded banks would need a
+    different forward model — the learned route for those is the V2.1
+    ``GaussianParamPredictor`` zoo head."""
+    if cfg.env_3d:
+        raise ValueError("terminal guidance is 2-D (planimetric) only")
+    if cfg.plume_model != "isotropic":
+        raise ValueError(
+            "trilateration guidance inverts the isotropic analytic plume; "
+            f"plume_model={cfg.plume_model!r} is not supported"
+        )
+    gcfg = gcfg or GuideConfig()
+    return (
+        guide_init(gcfg),
+        lambda gs, pos, conc, act: guide_step(gs, pos, conc, act, cfg, gcfg),
+    )

@@ -40,6 +40,7 @@ class _EvalCarry:
     stopped_early: jnp.ndarray
     key: jax.Array
     policy_state: Any = None   # recurrent (c, h) carry; None for MLP
+    guide_state: Any = None    # terminal-guidance state; None when unguided
 
 
 @dataclasses.dataclass
@@ -124,6 +125,7 @@ def evaluate_policy(
     goal_radius: float | None = None,
     bank=None,
     rnn=None,
+    guide=None,
 ) -> EvalMetrics:
     """Run ``num_episodes`` parallel greedy episodes; returns per-episode
     metrics in the reference npz layout.
@@ -136,7 +138,12 @@ def evaluate_policy(
     ``goal_radius`` overrides the env's episode-termination radius (the
     reference protocol uses the INITIAL_RADIUS=50 of a fresh env; setting the
     trained curriculum radius instead measures true localization precision —
-    the <5-unit north star)."""
+    the <5-unit north star).
+
+    ``guide`` is an optional ``(init_state, step_fn)`` terminal-guidance
+    controller (see ``tpu_plume.evaluation.guidance``): once its source
+    estimate is well-conditioned it overrides the policy's action to
+    phase-control the goal-ball crossing."""
     # ``rnn`` (a RecurrentActorCritic) switches to the hidden-carrying
     # policy step — the PPO+LSTM policy; episodes never restart inside the
     # eval scan, so no reset bookkeeping is needed.
@@ -158,6 +165,13 @@ def evaluate_policy(
         else:
             stop_state = jnp.zeros(n)  # dummy
 
+        if guide is not None:
+            g_init, _ = guide
+            guide_state = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), g_init
+            )
+        else:
+            guide_state = None
         carry = _EvalCarry(
             env_state=env_state,
             obs=obs,
@@ -167,6 +181,7 @@ def evaluate_policy(
             stopped_early=jnp.zeros(n, bool),
             key=k_scan,
             policy_state=rnn.initial_state(n) if rnn is not None else None,
+            guide_state=guide_state,
         )
 
         def body(c: _EvalCarry, _):
@@ -180,6 +195,13 @@ def evaluate_policy(
                 action = jnp.argmax(logits, axis=-1)
             else:
                 action = jax.random.categorical(k_act, logits, axis=-1)
+            if guide is not None:
+                _, g_fn = guide
+                new_guide, action, _ = jax.vmap(g_fn)(
+                    c.guide_state, c.env_state.pos, c.env_state.conc, action
+                )
+            else:
+                new_guide = c.guide_state
             step_keys = jax.random.split(k_step, n)
             new_env, trans = jax.vmap(lambda s, a, k: step(s, a, k, env_cfg, bank))(
                 c.env_state, action, step_keys
@@ -204,6 +226,7 @@ def evaluate_policy(
             obs = jnp.where(active[:, None], trans.obs, c.obs)
             stop_state = keep(new_stop, c.stop_state)
             pol = keep(pol_state, c.policy_state) if rnn is not None else pol_state
+            gstate = keep(new_guide, c.guide_state) if guide is not None else None
             steps = c.steps + active.astype(jnp.int32)
             stopped_early = c.stopped_early | (active & stop_fired)
             finished = c.finished | trans.done | stop_fired
@@ -217,7 +240,7 @@ def evaluate_policy(
                 tracked = None
             return (
                 _EvalCarry(env_state, obs, stop_state, finished, steps,
-                           stopped_early, key, pol),
+                           stopped_early, key, pol, gstate),
                 tracked,
             )
 
