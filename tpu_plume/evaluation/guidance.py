@@ -68,14 +68,17 @@ class GuideConfig:
     # land at most this deep — margin under the success@40 line for the
     # stochastic turbulence displacement of the executed move plus the
     # fit's max_se.
-    deep_target: float = 32.0
+    deep_target: float = 30.0
     # hover entry: a single >= enter_strong read, or a readable step
     # followed by an >= enter_weak read (both in debiased conc_n units)
     enter_weak: float = 0.045
     enter_strong: float = 0.06
     # preferred pre-crossing distance: one radial 25-px step from here
-    # lands at ~setup_distance - move_step.
-    setup_distance: float = 58.0
+    # lands at setup_distance - move_step, which MUST be <= deep_target or
+    # the dive's crossing step never clears the deep gate and the
+    # controller stalls on the setup ring (cost a round of debugging:
+    # 58 - 25 = 33 > deep_target 32 meant clean dives never fired).
+    setup_distance: float = 54.0
     # --- hover (active sensing) band.  A radial approach crosses the
     # usable annulus in 1-2 steps — too few samples for the fit to ever
     # condition.  On first contact (pointwise distance <= hover_outer) the
@@ -209,7 +212,7 @@ def _solve_estimate(gs: GuideState, gcfg: GuideConfig):
         & (se <= gcfg.max_se)
         & (resid <= gcfg.max_residual)
     )
-    return est, ok
+    return est, ok, se, n_eff
 
 
 def guide_step(
@@ -243,7 +246,7 @@ def guide_step(
         w_buf=jnp.where(write, conc_n**3, gs.w_buf),
         count=gs.count + accept.astype(jnp.int32),
     )
-    est, ok = _solve_estimate(gs, gcfg)
+    est, ok, fit_se, fit_n = _solve_estimate(gs, gcfg)
     # Safety cross-check before the guide may steer: in the high-SNR zone
     # the POINTWISE inversion is accurate to ~2-4 px — a fit that
     # disagrees with it is wrong regardless of its internal residual.
@@ -331,23 +334,14 @@ def guide_step(
         jnp.where(rev == 0, probe_in, rev),
     )
     do_probe = d_hat >= gcfg.probe_in_min
-    hover_action = jnp.where(do_probe, probe_in, out_step)
-    # no trusted read (drifted past the floor ceiling): rally back toward
-    # the best contact seen
-    d_rally = jnp.linalg.norm(
-        pos[None, :2]
-        + _action_delta(jnp.arange(cfg.num_actions), cfg)[:, :2]
-        - best_pos[None, :],
-        axis=-1,
-    )
-    rally = jnp.argmin(jnp.where(jnp.arange(cfg.num_actions) == 0, 1e9, d_rally))
-    hover_action = jnp.where(have_d, hover_action, rally)
+    bounce_action = jnp.where(do_probe, probe_in, out_step)
 
-    # ---- dive: 5-way lookahead on the deterministic move component ---
+    # ---- est-based lookahead (shared by hold ring and dive) ----------
     deltas = _action_delta(jnp.arange(cfg.num_actions), cfg)[:, :2]
     d_next = jnp.linalg.norm(pos[None, :2] + deltas - est[None, :], axis=-1)
     crossing = d_next <= gcfg.terminate_radius
     deep = d_next <= gcfg.deep_target
+    # dive: deep crossings win outright; otherwise hold the setup ring
     score = jnp.where(
         crossing & deep,
         d_next,  # crossing deep: deepest wins
@@ -358,6 +352,18 @@ def guide_step(
         ),
     )
     g_action = jnp.argmin(score)
+
+    # (A pre-dive est-based "hold ring" was tried here and measured WORSE
+    # at every se gate — a partially-converged estimate misleads
+    # navigation; the read-driven bounce stays local and safe.)
+    hover_action = bounce_action
+    # no trusted read (drifted past the floor ceiling): rally back toward
+    # the best contact seen
+    d_rally = jnp.linalg.norm(
+        pos[None, :2] + deltas - best_pos[None, :], axis=-1
+    )
+    rally = jnp.argmin(jnp.where(jnp.arange(cfg.num_actions) == 0, 1e9, d_rally))
+    hover_action = jnp.where(have_d, hover_action, rally)
 
     hovering = (mode == 1) & ~ok
     action = jnp.where(
