@@ -48,6 +48,15 @@ def test_cli_train_and_eval(tmp_path, capsys):
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "mean_deviation" in summary2
 
+    # terminal-guidance eval path (--guide fit)
+    main([
+        "eval", "--preset", "ppo_v2_0",
+        "--ckpt", os.path.join(out_dir, "checkpoint"),
+        "--episodes", "4", "--guide", "fit",
+    ])
+    summary3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "success_rate" in summary3
+
 
 def test_cli_expert(tmp_path, capsys):
     out_dir = str(tmp_path / "run")

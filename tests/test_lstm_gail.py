@@ -145,7 +145,7 @@ def test_gail_pipeline(tmp_path, closed_loop):
             cfg, str(tmp_path / "gail_anneal"), expert_path,
             closed_loop=True, gail_reward_coef=0.1,
             gail_anneal_episodes=res.episodes,  # fully decayed by the end
-            max_iterations=3, verbose=False,
+            max_iterations=3, verbose=False, sync_every=1,
         )
         curve = (tmp_path / "gail_anneal" / "curve.csv").read_text().splitlines()
         assert curve[0].split(",")[-1] == "gail_coef"
@@ -160,7 +160,7 @@ def test_gail_pipeline(tmp_path, closed_loop):
             cfg, str(tmp_path / "gail_hold"), expert_path,
             closed_loop=True, gail_reward_coef=0.1,
             gail_anneal_episodes=10, gail_anneal_radius=0.01,
-            max_iterations=3, verbose=False,
+            max_iterations=3, verbose=False, sync_every=1,
         )
         curve3 = (tmp_path / "gail_hold" / "curve.csv").read_text().splitlines()
         coefs3 = [float(r.split(",")[-1]) for r in curve3[1:]]

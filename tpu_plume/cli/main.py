@@ -239,9 +239,15 @@ def cmd_eval(args):
     rnn = model if isinstance(model, RecurrentActorCritic) else None
     guide = None
     if args.guide == "fit":
-        from tpu_plume.evaluation.guidance import make_guide
+        import dataclasses as _dc
 
-        guide = make_guide(cfg.env)
+        from tpu_plume.evaluation.guidance import GuideConfig, make_guide
+
+        gcfg = GuideConfig()
+        if args.goal_radius is not None:
+            # the guide's crossing model must match the episode terminator
+            gcfg = _dc.replace(gcfg, terminate_radius=args.goal_radius)
+        guide = make_guide(cfg.env, gcfg)
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
