@@ -237,17 +237,15 @@ def train_ppo_gail(
 
     pending: deque = deque()
 
+    from tpu_plume.train.hostsync import drain_window
+
     def consume():
         nonlocal episodes, successes, anneal_start
         window = list(pending)
         pending.clear()
-        flat0, treedef = jax.tree.flatten(window[0][1])
-        stacked = np.asarray(
-            jnp.stack([jnp.stack(jax.tree.flatten(st)[0]) for _, st, _ in window])
-        )
+        host = drain_window([st for _, st, _ in window])
         with open(curve_path, "a") as f:
-            for row, (it, _, coef) in zip(stacked, window):
-                stats = jax.tree.unflatten(treedef, list(row))
+            for stats, (it, _, coef) in zip(host, window):
                 it_eps = int(stats["rollout/episodes"])
                 it_succ = int(stats["rollout/successes"])
                 episodes += it_eps

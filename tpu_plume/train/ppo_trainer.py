@@ -474,37 +474,16 @@ def train_ppo(
                     flush=True,
                 )
 
-    # Pack an entire window of (stats, records) pytrees into ONE flat f32
-    # device array: on the tunneled backend every device->host transfer
-    # costs a full ~30 ms round trip regardless of size, so per-field
-    # np.asarray drains (~14 transfers/iteration) are what made
-    # record-producing runs 20x slower than --no-csv runs.  f32 packing is
-    # lossless here: bools and the <= max_steps int32 counters are exactly
-    # representable (< 2^24).
-    _pack_window = jax.jit(
-        lambda flats: jnp.concatenate(
-            [x.astype(jnp.float32).ravel() for fl in flats for x in fl]
-        )
-    )
+    # One packed jitted transfer per window — see train/hostsync.py for
+    # why (both transfers AND eager dispatches cost ~30 ms round trips).
+    from tpu_plume.train.hostsync import drain_window
 
     def consume():
         nonlocal episodes, successes, t_steady, it_at_steady
         window = list(pending)
         pending.clear()
-        entries = [(st, rec) for _, st, rec in window]
-        flat0, treedef = jax.tree.flatten(entries[0])
-        shapes = [(l.shape, np.dtype(l.dtype)) for l in flat0]
-        sizes = [int(np.prod(s)) for s, _ in shapes]
-        buf = np.asarray(_pack_window([jax.tree.flatten(e)[0] for e in entries]))
-        off = 0
-        for it, _, _ in window:
-            leaves = []
-            for (shape, dtype), nsz in zip(shapes, sizes):
-                leaves.append(
-                    buf[off:off + nsz].reshape(shape).astype(dtype, copy=False)
-                )
-                off += nsz
-            stats, rec = jax.tree.unflatten(treedef, leaves)
+        host = drain_window([(st, rec) for _, st, rec in window])
+        for (it, _, _), (stats, rec) in zip(window, host):
             # NaN tripwire — the reference raises on NaN logits/probs
             # (PPOV1.1/model.py:47-49, PPOV2.0/train_ppo2.0.py:57-62); the
             # whole-iteration loss is the canary (<= sync_every late).
