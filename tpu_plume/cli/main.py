@@ -245,8 +245,20 @@ def cmd_eval(args):
 
         gcfg = GuideConfig()
         if args.goal_radius is not None:
-            # the guide's crossing model must match the episode terminator
-            gcfg = _dc.replace(gcfg, terminate_radius=args.goal_radius)
+            # The guide's crossing model must match the episode terminator,
+            # and the dive geometry scales with it: land at <= 0.8r (capped
+            # at the protocol-tuned 30), set up one move-step out from the
+            # landing target, and demand a fit se proportional to the
+            # landing tolerance (tiny goal balls need tighter fits).
+            r = args.goal_radius
+            deep = min(30.0, 0.8 * r)
+            gcfg = _dc.replace(
+                gcfg,
+                terminate_radius=r,
+                deep_target=deep,
+                setup_distance=deep + 24.0,
+                max_se=min(gcfg.max_se, max(1.5, 0.8 * deep)),
+            )
         guide = make_guide(cfg.env, gcfg)
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
