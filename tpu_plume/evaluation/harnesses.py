@@ -55,6 +55,11 @@ class EvalMetrics:
     peak_pred: np.ndarray | None = None
     final_conc: np.ndarray | None = None
     trajectories: np.ndarray | None = None  # [K, T, 2], NaN-padded
+    # guided-eval diagnostics (None when unguided): hover-mode flag and
+    # fit-validity at episode end, accepted sample count
+    guide_hover: np.ndarray | None = None
+    guide_fit_ok: np.ndarray | None = None
+    guide_samples: np.ndarray | None = None
 
     def save_csv(self, path: str):
         """The V1.1 evaluator's evaluation_results.csv schema
@@ -254,12 +259,16 @@ def evaluate_policy(
             if isinstance(carry.stop_state, ctrl.PeakStopState)
             else None
         )
+        if guide is not None:
+            gdiag = (carry.guide_state.mode, carry.guide_state.est_ok,
+                     carry.guide_state.count)
+        else:
+            gdiag = None
         return (deviation, carry.steps, carry.stopped_early, peak_pred,
-                carry.env_state.conc, tracked)
+                carry.env_state.conc, tracked, gdiag)
 
-    deviation, steps, stopped_early, peak_pred, final_conc, tracked = jax.jit(run)(
-        reset_keys, k_scan
-    )
+    (deviation, steps, stopped_early, peak_pred, final_conc, tracked,
+     gdiag) = jax.jit(run)(reset_keys, k_scan)
     deviation = np.asarray(deviation)
     return EvalMetrics(
         deviations=deviation,
@@ -269,6 +278,9 @@ def evaluate_policy(
         peak_pred=None if peak_pred is None else np.asarray(peak_pred),
         final_conc=np.asarray(final_conc),
         trajectories=None if tracked is None else np.swapaxes(np.asarray(tracked), 0, 1),
+        guide_hover=None if gdiag is None else np.asarray(gdiag[0]) == 1,
+        guide_fit_ok=None if gdiag is None else np.asarray(gdiag[1]),
+        guide_samples=None if gdiag is None else np.asarray(gdiag[2]),
     )
 
 
