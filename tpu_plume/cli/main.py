@@ -213,6 +213,18 @@ def cmd_train_lstm(args):
             seqs, src = load_raw_sequences(args.nc)
         res = train_sequence_lstm(seqs, src, args.out, epochs=args.epochs, verbose=True)
         print(json.dumps({"final_loss": res.losses[-1], "test_r2": res.extra["test_r2"]}))
+    elif args.variant == "params":
+        from tpu_plume.train.lstm_trainer import train_source_lstm
+
+        res = train_source_lstm(
+            args.nc, args.out, window=args.window, epochs=args.epochs,
+            verbose=True,
+        )
+        print(json.dumps({
+            "best_loss": res.extra["best_loss"],
+            "val_mean_err_px": res.extra["val_mean_err_px"],
+            "val_median_err_px": res.extra["val_median_err_px"],
+        }))
     else:
         segs = load_trajectory_segments(args.nc, window_size=20)
         res = train_peak_stop_lstm(segs, args.out, epochs=args.epochs, verbose=True)
@@ -260,17 +272,42 @@ def cmd_eval(args):
                 max_se=min(gcfg.max_se, max(1.5, 0.8 * deep)),
             )
         guide = make_guide(cfg.env, gcfg)
+    n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
         goal_radius=args.goal_radius, bank=_make_bank(args, cfg), rnn=rnn,
         guide=guide,
+        track_trajectories=n_eval if args.localize else 0,
     )
+    summary = summarize(m)
+    if args.localize:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpu_plume.data.checkpoint import restore_checkpoint
+        from tpu_plume.evaluation.localize import localize_from_trajectories
+
+        bundle = restore_checkpoint(args.localize)
+        lparams = jax.tree.map(jnp.asarray, bundle["params"])
+        pred = localize_from_trajectories(
+            m.trajectories, lparams, window=args.localize_window,
+            grid_size=cfg.env.grid_size, conc_peak=cfg.env.conc_peak,
+        )
+        err = np.linalg.norm(pred - m.sources, axis=-1)
+        summary.update(
+            {
+                "localize_mean_err": float(err.mean()),
+                "localize_median_err": float(np.median(err)),
+                "localize_within_5": float((err <= 5.0).mean()),
+                "localize_within_40": float((err <= 40.0).mean()),
+            }
+        )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
         m.save_npz(os.path.join(args.out, "validation_metrics.npz"))
         m.save_csv(os.path.join(args.out, "evaluation_results.csv"))
-    print(json.dumps(summarize(m)))
+    print(json.dumps(summary))
 
 
 def _lstm_gate(args, cfg):
@@ -465,7 +502,12 @@ def build_parser():
     sp.set_defaults(fn=cmd_train_gail)
 
     sp = sub.add_parser("train-lstm", help="LSTM stop-predictor training")
-    sp.add_argument("--variant", choices=["threshold", "peakstop", "v12"], default="threshold")
+    sp.add_argument("--variant",
+                    choices=["threshold", "peakstop", "v12", "params"],
+                    default="threshold")
+    sp.add_argument("--window", type=int, default=64,
+                    help="window length for --variant params (the source "
+                         "localizer)")
     sp.add_argument("--nc", required=True)
     sp.add_argument("--out", default="runs/lstm")
     sp.add_argument("--epochs", type=int, default=150)
@@ -481,6 +523,13 @@ def build_parser():
     sp.add_argument("--goal-radius", type=float,
                     help="episode-termination radius (default: INITIAL_RADIUS=50, "
                          "the reference protocol; set 5.0 for the precision metric)")
+    sp.add_argument("--localize",
+                    help="checkpoint dir of a trained source localizer "
+                         "(train-lstm --variant params): post-hoc predict "
+                         "each flight's source from its own (x, y, conc) "
+                         "history and report the localization error "
+                         "alongside the endpoint deviation")
+    sp.add_argument("--localize-window", type=int, default=64)
     sp.add_argument("--guide", choices=["none", "fit"], default="none",
                     help="terminal guidance: 'fit' trilaterates the source "
                          "online from the agent's own concentration samples "

@@ -98,6 +98,77 @@ def load_enhanced_samples(nc_path: str, window_size: int = 120):
     return samples
 
 
+def source_window_dataset(
+    nc_path: str,
+    window_size: int = 64,
+    per_episode: int = 6,
+    grid_size: float = 500.0,
+    conc_peak: float = 100.0,
+    rng: np.random.Generator | None = None,
+):
+    """[N, W, 3] windows of normalized (x, y, conc) flight samples with
+    [N, 2] normalized source-position targets — the supervised dataset for
+    the ``GaussianParamPredictor`` source localizer (the reference's zoo
+    head, PPOV2.1/model.py:308-322, which its code never trains).
+
+    The NC writer overwrites each trajectory's FINAL row with the source
+    coordinates (netcdf.py:124-127, reference netcdf_writer.py quirk);
+    that row is dropped here or the targets would leak into the inputs.
+
+    Window lengths are randomized in [min_length, window_size] (padded
+    with zeros past the length; returned in ``lengths``) so the localizer
+    also handles eval flights shorter than a full window.
+
+    Returns ``(feats [N, W, 3], lengths [N], targets [N, 2])``.
+    """
+    rng = rng or np.random.default_rng(0)
+    min_length = max(8, window_size // 4)
+    feats, lengths, targets = [], [], []
+    with h5py.File(nc_path, "r") as nc:
+        x = np.asarray(nc["x"])
+        y = np.asarray(nc["y"])
+        conc = np.asarray(nc["concentration"])
+        sx = np.asarray(nc["source_x"])
+        sy = np.asarray(nc["source_y"])
+        for ep in range(x.shape[0]):
+            valid = np.where(~np.isnan(x[ep]))[0]
+            # drop the source-marker final row
+            valid = valid[:-1]
+            if len(valid) < min_length:
+                continue
+            tr = np.column_stack(
+                (
+                    x[ep, valid] / grid_size,
+                    y[ep, valid] / grid_size,
+                    conc[ep, valid] / conc_peak,
+                )
+            ).astype(np.float32)
+            tgt = np.array([sx[ep] / grid_size, sy[ep] / grid_size], np.float32)
+            for j in range(per_episode):
+                length = int(
+                    rng.integers(min_length, min(window_size, len(valid)) + 1)
+                )
+                if j == 0:  # always include the episode tail at full length
+                    length = min(window_size, len(valid))
+                e = (
+                    len(valid)
+                    if j == 0
+                    else int(rng.integers(length, len(valid) + 1))
+                )
+                w = np.zeros((window_size, 3), np.float32)
+                w[:length] = tr[e - length : e]
+                feats.append(w)
+                lengths.append(length)
+                targets.append(tgt)
+    if not feats:
+        return (
+            np.zeros((0, window_size, 3), np.float32),
+            np.zeros((0,), np.int32),
+            np.zeros((0, 2), np.float32),
+        )
+    return np.stack(feats), np.asarray(lengths, np.int32), np.stack(targets)
+
+
 def calculate_dynamic_label(segment: dict, conc_peak: float = 100.0) -> float:
     """Distance/trend/concentration composite stop label
     (PPOV2.1/model.py:113-127)."""

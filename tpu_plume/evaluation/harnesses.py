@@ -54,7 +54,8 @@ class EvalMetrics:
     stopped_early: np.ndarray
     peak_pred: np.ndarray | None = None
     final_conc: np.ndarray | None = None
-    trajectories: np.ndarray | None = None  # [K, T, 2], NaN-padded
+    trajectories: np.ndarray | None = None  # [K, T, 3] (x, y, conc), NaN-padded
+    sources: np.ndarray | None = None       # [N, 2] true source positions
     # guided-eval diagnostics (None when unguided): hover-mode flag and
     # fit-validity at episode end, accepted sample count
     guide_hover: np.ndarray | None = None
@@ -236,9 +237,12 @@ def evaluate_policy(
             stopped_early = c.stopped_early | (active & stop_fired)
             finished = c.finished | trans.done | stop_fired
             if track_trajectories:
+                k = track_trajectories
                 tracked = jnp.where(
-                    active[:track_trajectories, None],
-                    env_state.pos[:track_trajectories, :2],
+                    active[:k, None],
+                    jnp.concatenate(
+                        [env_state.pos[:k, :2], env_state.conc[:k, None]], axis=1
+                    ),
                     jnp.nan,
                 )
             else:
@@ -265,10 +269,11 @@ def evaluate_policy(
         else:
             gdiag = None
         return (deviation, carry.steps, carry.stopped_early, peak_pred,
-                carry.env_state.conc, tracked, gdiag)
+                carry.env_state.conc, tracked, gdiag,
+                carry.env_state.field.source)
 
     (deviation, steps, stopped_early, peak_pred, final_conc, tracked,
-     gdiag) = jax.jit(run)(reset_keys, k_scan)
+     gdiag, sources) = jax.jit(run)(reset_keys, k_scan)
     deviation = np.asarray(deviation)
     return EvalMetrics(
         deviations=deviation,
@@ -278,6 +283,7 @@ def evaluate_policy(
         peak_pred=None if peak_pred is None else np.asarray(peak_pred),
         final_conc=np.asarray(final_conc),
         trajectories=None if tracked is None else np.swapaxes(np.asarray(tracked), 0, 1),
+        sources=np.asarray(sources),
         guide_hover=None if gdiag is None else np.asarray(gdiag[0]) == 1,
         guide_fit_ok=None if gdiag is None else np.asarray(gdiag[1]),
         guide_samples=None if gdiag is None else np.asarray(gdiag[2]),

@@ -338,3 +338,96 @@ def train_peak_stop_lstm(
     save_checkpoint(os.path.join(out_dir, "best_peak_and_stop"), {"params": best_params})
     return LSTMTrainResult(params=best_params, losses=losses, out_dir=out_dir,
                            extra={"best_loss": best_loss})
+
+
+def train_source_lstm(
+    nc_path: str,
+    out_dir: str,
+    *,
+    window: int = 64,
+    per_episode: int = 6,
+    epochs: int = 100,
+    batch_size: int = 256,
+    lr: float = 1e-3,
+    seed: int = 0,
+    grid_size: float = 500.0,
+    conc_peak: float = 100.0,
+    val_frac: float = 0.1,
+    verbose: bool = False,
+) -> LSTMTrainResult:
+    """Train the ``GaussianParamPredictor`` zoo head (PPOV2.1/model.py:
+    308-322 — dead code in the reference) as a SOURCE LOCALIZER: windows
+    of normalized (x, y, conc) flight samples -> (mu_x, mu_y).  Loss is
+    position MSE on the first two outputs (the sigma/peak heads ride
+    along untrained, preserving the reference output layout); reports
+    held-out localization error in grid units."""
+    from tpu_plume.data.datasets import source_window_dataset
+    from tpu_plume.models import GaussianParamPredictor
+
+    os.makedirs(out_dir, exist_ok=True)
+    feats, lens, targets = source_window_dataset(
+        nc_path, window_size=window, per_episode=per_episode,
+        grid_size=grid_size, conc_peak=conc_peak,
+        rng=np.random.default_rng(seed),
+    )
+    if len(feats) == 0:
+        raise ValueError("no training windows — check the NC file / window size")
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(feats))
+    n_val = max(1, int(len(feats) * val_frac))
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+    model = GaussianParamPredictor()
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, window, 3)), jnp.ones((1,), jnp.int32)
+    )
+    optimizer = _make_optimizer(weight_decay=1e-4, clip=1.0)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params, batch, _key):
+        x, ln, y = batch
+        pred = model.apply(params, x, ln)
+        return ((pred[:, :2] - y) ** 2).mean(), {}
+
+    run_epoch = _epoch_runner(loss_fn, optimizer)
+    sched = ReduceLROnPlateau(lr)
+    x_dev = jnp.asarray(feats[train_idx])
+    l_dev = jnp.asarray(lens[train_idx])
+    y_dev = jnp.asarray(targets[train_idx])
+    losses, best_loss, best_params = [], float("inf"), params
+    cur_lr = lr
+    bs = min(batch_size, len(train_idx))
+    for epoch in range(epochs):
+        idx = _shuffle_batches(rng, len(train_idx), bs)
+        keys = jax.random.split(jax.random.PRNGKey(epoch), idx.shape[0])
+        params, opt_state, loss = run_epoch(
+            params, opt_state, cur_lr, (x_dev[idx], l_dev[idx], y_dev[idx]), keys
+        )
+        loss = float(loss)
+        losses.append(loss)
+        cur_lr = sched.step(loss)
+        if loss < best_loss:
+            best_loss, best_params = loss, params
+        if verbose and (epoch + 1) % 10 == 0:
+            print(f"epoch {epoch + 1}, loss {loss:.5f}, lr {cur_lr:.2e}")
+
+    pred = np.asarray(
+        model.apply(
+            best_params, jnp.asarray(feats[val_idx]), jnp.asarray(lens[val_idx])
+        )
+    )[:, :2]
+    val_err = np.linalg.norm((pred - targets[val_idx]) * grid_size, axis=-1)
+
+    from tpu_plume.data.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        os.path.join(out_dir, "gaussian_params"), {"params": best_params}
+    )
+    return LSTMTrainResult(
+        params=best_params, losses=losses, out_dir=out_dir,
+        extra={
+            "best_loss": best_loss,
+            "val_mean_err_px": float(val_err.mean()),
+            "val_median_err_px": float(np.median(val_err)),
+        },
+    )
