@@ -87,3 +87,29 @@ def test_train_and_localize(tmp_path):
     pred = localize_from_trajectories(trajs, res.params, window=32)
     err = np.linalg.norm(pred - srcs, axis=-1)
     assert err.mean() < 30.0
+
+
+def test_train_from_flights(tmp_path):
+    """The self-localization path: flights.npz (trajectories + sources)
+    -> train_source_lstm(flights_path=...) -> low val error."""
+    rng = np.random.default_rng(3)
+    k, t = 150, 80
+    trajs = np.full((k, t, 3), np.nan, np.float32)
+    srcs = np.zeros((k, 2), np.float32)
+    for i in range(k):
+        src = rng.uniform(100, 400, 2)
+        srcs[i] = src
+        pos = rng.uniform(50, 450, 2)
+        for j in range(60):
+            d = np.linalg.norm(pos - src)
+            trajs[i, j] = [pos[0], pos[1],
+                           PEAK * np.exp(-d**2 / (2 * SIGMA**2)) + rng.normal(0, 1.5)]
+            step = 25.0 * (src - pos) / (d + 1e-6)
+            pos = pos + (step if d > 40 else rng.normal(0, 8, 2)) + rng.normal(0, 4, 2)
+    fp = str(tmp_path / "flights.npz")
+    np.savez_compressed(fp, trajectories=trajs, sources=srcs)
+    res = train_source_lstm(
+        None, str(tmp_path / "loc"), flights_path=fp,
+        window=32, epochs=200, lr=3e-3, seed=0,
+    )
+    assert res.extra["val_mean_err_px"] < 28.0

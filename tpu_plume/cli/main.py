@@ -191,6 +191,11 @@ def cmd_train_gail(args):
 
 
 def cmd_train_lstm(args):
+    if args.variant == "params":
+        if not (args.nc or args.flights):
+            raise SystemExit("--variant params needs --nc or --flights")
+    elif not args.nc:
+        raise SystemExit(f"--variant {args.variant} needs --nc")
     from tpu_plume.data.datasets import load_raw_sequences, load_trajectory_segments
     from tpu_plume.train.lstm_trainer import (
         train_peak_stop_lstm,
@@ -217,8 +222,8 @@ def cmd_train_lstm(args):
         from tpu_plume.train.lstm_trainer import train_source_lstm
 
         res = train_source_lstm(
-            args.nc, args.out, window=args.window, epochs=args.epochs,
-            verbose=True,
+            args.nc, args.out, flights_path=args.flights,
+            window=args.window, epochs=args.epochs, verbose=True,
         )
         print(json.dumps({
             "best_loss": res.extra["best_loss"],
@@ -278,8 +283,15 @@ def cmd_eval(args):
         num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
         goal_radius=args.goal_radius, bank=_make_bank(args, cfg), rnn=rnn,
         guide=guide,
-        track_trajectories=n_eval if args.localize else 0,
+        track_trajectories=n_eval if (args.localize or args.save_flights) else 0,
     )
+    if args.save_flights:
+        import numpy as np
+
+        os.makedirs(os.path.dirname(args.save_flights) or ".", exist_ok=True)
+        np.savez_compressed(
+            args.save_flights, trajectories=m.trajectories, sources=m.sources
+        )
     summary = summarize(m)
     if args.localize:
         import jax.numpy as jnp
@@ -508,7 +520,12 @@ def build_parser():
     sp.add_argument("--window", type=int, default=64,
                     help="window length for --variant params (the source "
                          "localizer)")
-    sp.add_argument("--nc", required=True)
+    sp.add_argument("--nc",
+                    help="NC trajectory capture (required unless --flights)")
+    sp.add_argument("--flights",
+                    help="flights.npz from `eval --save-flights` — "
+                         "distribution-matched localizer training data "
+                         "(--variant params only)")
     sp.add_argument("--out", default="runs/lstm")
     sp.add_argument("--epochs", type=int, default=150)
     sp.set_defaults(fn=cmd_train_lstm)
@@ -523,6 +540,11 @@ def build_parser():
     sp.add_argument("--goal-radius", type=float,
                     help="episode-termination radius (default: INITIAL_RADIUS=50, "
                          "the reference protocol; set 5.0 for the precision metric)")
+    sp.add_argument("--save-flights",
+                    help="write flights.npz (trajectories + true sources) "
+                         "for localizer training — the self-localization "
+                         "loop: eval --save-flights -> train-lstm --variant "
+                         "params --flights -> eval --localize")
     sp.add_argument("--localize",
                     help="checkpoint dir of a trained source localizer "
                          "(train-lstm --variant params): post-hoc predict "
