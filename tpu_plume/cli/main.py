@@ -315,6 +315,19 @@ def cmd_eval(args):
                 "localize_within_40": float((err <= 40.0).mean()),
             }
         )
+        if m.guide_est is not None:
+            # hybrid: the trilateration fit where it validated (err ~3-6
+            # px), the learned localizer elsewhere
+            hybrid = np.where(m.guide_fit_ok[:, None], m.guide_est, pred)
+            herr = np.linalg.norm(hybrid - m.sources, axis=-1)
+            summary.update(
+                {
+                    "hybrid_mean_err": float(herr.mean()),
+                    "hybrid_median_err": float(np.median(herr)),
+                    "hybrid_within_5": float((herr <= 5.0).mean()),
+                    "hybrid_within_40": float((herr <= 40.0).mean()),
+                }
+            )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
         m.save_npz(os.path.join(args.out, "validation_metrics.npz"))

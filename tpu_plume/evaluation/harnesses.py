@@ -57,10 +57,11 @@ class EvalMetrics:
     trajectories: np.ndarray | None = None  # [K, T, 3] (x, y, conc), NaN-padded
     sources: np.ndarray | None = None       # [N, 2] true source positions
     # guided-eval diagnostics (None when unguided): hover-mode flag and
-    # fit-validity at episode end, accepted sample count
+    # fit-validity at episode end, accepted sample count, fit estimate
     guide_hover: np.ndarray | None = None
     guide_fit_ok: np.ndarray | None = None
     guide_samples: np.ndarray | None = None
+    guide_est: np.ndarray | None = None  # [N, 2] trilateration estimate
 
     def save_csv(self, path: str):
         """The V1.1 evaluator's evaluation_results.csv schema
@@ -265,7 +266,7 @@ def evaluate_policy(
         )
         if guide is not None:
             gdiag = (carry.guide_state.mode, carry.guide_state.est_ok,
-                     carry.guide_state.count)
+                     carry.guide_state.count, carry.guide_state.est)
         else:
             gdiag = None
         return (deviation, carry.steps, carry.stopped_early, peak_pred,
@@ -287,6 +288,7 @@ def evaluate_policy(
         guide_hover=None if gdiag is None else np.asarray(gdiag[0]) == 1,
         guide_fit_ok=None if gdiag is None else np.asarray(gdiag[1]),
         guide_samples=None if gdiag is None else np.asarray(gdiag[2]),
+        guide_est=None if gdiag is None else np.asarray(gdiag[3]),
     )
 
 
