@@ -309,6 +309,35 @@ def test_sample_bank_points_subcell():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_sample_bank_points_fused_matches_corner():
+    """The single-flat-gather formulation must match the per-corner one on
+    every bank rank (3/4/5-D), batched queries included."""
+    from tpu_plume.fields.gridded import sample_bank_points
+
+    cfg, bank5 = _bank3d()
+    rng = np.random.default_rng(2)
+    n = 64
+    idx = jnp.asarray(rng.integers(0, bank5.conc.shape[0], n), jnp.int32)
+    x = jnp.asarray(rng.uniform(0, 63, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 63, n), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 45, n), jnp.int32)
+    z = jnp.asarray(rng.uniform(0, bank5.z_extent, n), jnp.float32)
+
+    banks = {
+        "5d": (bank5, dict(t=t, z=z)),
+        "4d": (FieldBank(conc=bank5.conc[:, :, 0], source=bank5.source,
+                         steps_per_frame=bank5.steps_per_frame), dict(t=t)),
+        "3d": (FieldBank(conc=bank5.conc[:, 0, 0], source=bank5.source), {}),
+    }
+    for name, (bank, kw) in banks.items():
+        fused = np.asarray(sample_bank_points(bank, idx, x, y, **kw))
+        corner = np.asarray(
+            sample_bank_points(bank, idx, x, y, gather_mode="corner", **kw)
+        )
+        np.testing.assert_allclose(fused, corner, rtol=1e-5, atol=1e-6,
+                                   err_msg=name)
+
+
 def test_bank_wind_time_interpolation():
     from tpu_plume.fields.gridded import bank_wind
 

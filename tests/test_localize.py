@@ -44,9 +44,14 @@ def _write_synthetic_nc(path, episodes=80, steps=60, seed=0):
 def test_source_window_dataset_shapes(tmp_path):
     nc = str(tmp_path / "data.nc")
     _write_synthetic_nc(nc, episodes=10)
-    feats, lens, targets = source_window_dataset(nc, window_size=32, per_episode=3)
+    feats, lens, targets, groups = source_window_dataset(
+        nc, window_size=32, per_episode=3
+    )
     assert feats.shape[1:] == (32, 3) and targets.shape[1:] == (2,)
-    assert len(feats) == len(lens) == len(targets) > 0
+    assert len(feats) == len(lens) == len(targets) == len(groups) > 0
+    # windows of one episode share a group id (leak-safe split handle)
+    for g in np.unique(groups):
+        assert np.all(targets[groups == g] == targets[groups == g][0])
     assert lens.min() >= 8 and lens.max() <= 32
     # normalized features in [0, ~1] (conc noise can spill slightly)
     assert feats.max() <= 1.2
@@ -112,4 +117,7 @@ def test_train_from_flights(tmp_path):
         None, str(tmp_path / "loc"), flights_path=fp,
         window=32, epochs=200, lr=3e-3, seed=0,
     )
-    assert res.extra["val_mean_err_px"] < 28.0
+    # threshold calibrated to the leak-free flight-level split (a
+    # window-level split leaks every val flight into train and reads ~5 px
+    # better than the model deserves)
+    assert res.extra["val_mean_err_px"] < 35.0

@@ -85,6 +85,44 @@ def test_rollout_replay_parity():
     np.testing.assert_allclose(np.asarray(values), np.asarray(traj.value), atol=1e-5)
 
 
+def test_recurrent_update_square_shapes():
+    """Regression: with T == N == lstm_hidden the old shape-based minibatch
+    dispatch misread h_init [N, H] as a time-major [T, N] leaf and permuted
+    hidden UNITS instead of envs (trace-time broadcast error).  The split
+    now dispatches by field name and must work for square shapes."""
+    import optax
+    from flax.training.train_state import TrainState
+
+    from tpu_plume.rl.ppo import RecurrentPPOBatch, ppo_update_recurrent
+
+    T = N = H = 8
+    key = jax.random.PRNGKey(0)
+    m = RecurrentActorCritic(num_actions=5, lstm_hidden=H, embed_size=16)
+    params = m.init(key, m.initial_state(1), jnp.zeros((1, 6)))
+    ts = TrainState.create(apply_fn=m.apply, params=params, tx=optax.adam(1e-3))
+
+    ks = jax.random.split(key, 6)
+    batch = RecurrentPPOBatch(
+        obs=jax.random.normal(ks[0], (T, N, 6)),
+        actions=jax.random.randint(ks[1], (T, N), 0, 5),
+        old_log_probs=-jnp.abs(jax.random.normal(ks[2], (T, N))),
+        advantages=jax.random.normal(ks[3], (T, N)),
+        returns=jax.random.normal(ks[4], (T, N)),
+        old_values=jnp.zeros((T, N)),
+        resets=jnp.zeros((T, N), bool),
+        h_init=(jax.random.normal(ks[5], (N, H)),
+                jax.random.normal(ks[5], (N, H))),
+    )
+    # minibatch_size=2*T -> 2 envs per minibatch, 4 minibatches
+    cfg = PPOConfig(arch="lstm", lstm_hidden=H, lstm_embed=16,
+                    minibatch_size=2 * T, epochs=2)
+    ts2, metrics = jax.jit(
+        lambda ts, b, k: ppo_update_recurrent(ts, b, k, cfg)
+    )(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss/total"]))
+    assert ts2.step == 2 * 4  # epochs * minibatches
+
+
 def test_recurrent_train_step_smoke():
     """Fused recurrent train step: finite loss, hidden threads through."""
     from tpu_plume.rl.curriculum import curriculum_init

@@ -506,7 +506,8 @@ def build_parser():
                     help="skip per-episode CSV drain (pure-throughput training)")
     sp.add_argument("--sync-every", type=int,
                     help="host<->device sync interval (pipeline depth); "
-                         "default 8 without drains, 1 with")
+                         "default 8 (record drains ride the packed "
+                         "per-window transfer)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-gail", help="PPO + GAIL discriminator")

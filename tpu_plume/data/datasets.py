@@ -119,11 +119,14 @@ def source_window_dataset(
     with zeros past the length; returned in ``lengths``) so the localizer
     also handles eval flights shorter than a full window.
 
-    Returns ``(feats [N, W, 3], lengths [N], targets [N, 2])``.
+    Returns ``(feats [N, W, 3], lengths [N], targets [N, 2], groups [N])``
+    where ``groups`` is the source episode index of each window — windows of
+    one flight overlap, so train/val splits must be made at group
+    granularity to avoid leakage.
     """
     rng = rng or np.random.default_rng(0)
     min_length = max(8, window_size // 4)
-    feats, lengths, targets = [], [], []
+    feats, lengths, targets, groups = [], [], [], []
     with h5py.File(nc_path, "r") as nc:
         x = np.asarray(nc["x"])
         y = np.asarray(nc["y"])
@@ -160,13 +163,16 @@ def source_window_dataset(
                 feats.append(w)
                 lengths.append(length)
                 targets.append(tgt)
+                groups.append(ep)
     if not feats:
         return (
             np.zeros((0, window_size, 3), np.float32),
             np.zeros((0,), np.int32),
             np.zeros((0, 2), np.float32),
+            np.zeros((0,), np.int32),
         )
-    return np.stack(feats), np.asarray(lengths, np.int32), np.stack(targets)
+    return (np.stack(feats), np.asarray(lengths, np.int32), np.stack(targets),
+            np.asarray(groups, np.int32))
 
 
 def calculate_dynamic_label(segment: dict, conc_peak: float = 100.0) -> float:

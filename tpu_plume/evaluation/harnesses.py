@@ -140,7 +140,7 @@ def evaluate_policy(
     ``track_trajectories=K`` additionally records the position history of the
     first K episodes (for the V2.1-style per-episode trajectory PNGs,
     PPOV2.1/evaluate_with_lstm.py:96-107) in ``metrics.trajectories``
-    [K, T, 2] with NaN past episode end.
+    [K, T, 3] (x, y, conc) with NaN past episode end.
 
     ``goal_radius`` overrides the env's episode-termination radius (the
     reference protocol uses the INITIAL_RADIUS=50 of a fresh env; setting the

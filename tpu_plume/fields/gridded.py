@@ -105,12 +105,22 @@ def sample_bank(bank: FieldBank, idx, ix, iy, t=None, z=None) -> jnp.ndarray:
     return (1.0 - ft) * lo + ft * hi
 
 
-def sample_bank_points(bank: FieldBank, idx, x, y, t=None, z=None) -> jnp.ndarray:
+def sample_bank_points(
+    bank: FieldBank, idx, x, y, t=None, z=None, *, gather_mode: str = "fused"
+) -> jnp.ndarray:
     """Sub-cell multilinear sample at float points: bilinear in (x, y),
     linear in z (5-D banks) and in t (4/5-D banks) — the per-UAV
-    (x, y, z, t) field query of the north star, as scattered XLA gathers
-    (the measured-fastest formulation; see ``sample_bank``).  Broadcasts
-    over leading axes."""
+    (x, y, z, t) field query of the north star.  Broadcasts over leading
+    axes.
+
+    ``gather_mode="fused"`` (default) emits ONE flat-index gather for all
+    2/4/8/16 interpolation corners of the whole query batch instead of one
+    scattered gather per corner: on a v5e each scattered gather costs
+    ~0.5 ms of fixed overhead regardless of index count, so fusing the
+    5-D bank's 16 corner reads into one gather takes the 4096-env step
+    from ~3 ms to sub-millisecond (see RESULTS.md round 3).
+    ``gather_mode="corner"`` keeps the per-corner formulation (used by the
+    parity test and as a fallback)."""
     h, w = bank.conc.shape[-2], bank.conc.shape[-1]
     x = jnp.clip(jnp.asarray(x, jnp.float32), 0.0, h - 1.0)
     y = jnp.clip(jnp.asarray(y, jnp.float32), 0.0, w - 1.0)
@@ -118,6 +128,9 @@ def sample_bank_points(bank: FieldBank, idx, x, y, t=None, z=None) -> jnp.ndarra
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, w - 2)
     fx = x - x0
     fy = y - y0
+
+    if gather_mode == "fused":
+        return _sample_points_fused(bank, idx, x0, y0, fx, fy, t, z)
 
     def plane(ix, iy):
         return sample_bank(bank, idx, ix, iy, t, z)
@@ -128,6 +141,50 @@ def sample_bank_points(bank: FieldBank, idx, x, y, t=None, z=None) -> jnp.ndarra
     v11 = plane(x0 + 1, y0 + 1)
     return (v00 * (1 - fx) * (1 - fy) + v01 * (1 - fx) * fy
             + v10 * fx * (1 - fy) + v11 * fx * fy)
+
+
+def _sample_points_fused(bank: FieldBank, idx, x0, y0, fx, fy, t, z):
+    """All multilinear corners of every query in ONE flat gather.
+
+    Builds the [C, ...] corner index/weight tensors (C = 4 x 2^time x
+    2^height), linearizes into the raveled bank, gathers once, and
+    contracts with the weights.  Equivalent to the per-corner formulation
+    bit-for-bit up to float addition order."""
+    conc = bank.conc
+    h, w = conc.shape[-2], conc.shape[-1]
+    idx = jnp.asarray(idx)
+
+    # (axis offset, axis weight) pairs, innermost last; each [2, ...]
+    def pair(frac):
+        return jnp.stack([1.0 - frac, frac])
+
+    corner_off = [jnp.stack([jnp.zeros_like(x0), jnp.ones_like(x0)]) * w,
+                  jnp.stack([jnp.zeros_like(y0), jnp.ones_like(y0)])]
+    corner_wt = [pair(fx), pair(fy)]
+    base = x0 * w + y0
+    stride = h * w
+
+    if conc.ndim >= 4:
+        t0, ft = _frame_weights(bank, t, jnp.asarray(x0))
+        if conc.ndim == 5:
+            zdim = conc.shape[2]
+            z0, fz = _level_weights(bank, z, jnp.asarray(x0))
+            z1 = jnp.minimum(z0 + 1, zdim - 1)
+            corner_off.insert(0, jnp.stack([z0, z1]) * stride)
+            corner_wt.insert(0, pair(fz))
+            stride = stride * zdim
+        corner_off.insert(0, jnp.stack([t0, t0 + 1]) * stride)
+        corner_wt.insert(0, pair(ft))
+        stride = stride * conc.shape[1]
+    base = base + idx * stride
+
+    flat_idx = base[None]
+    weights = jnp.ones_like(jnp.asarray(fx))[None]
+    for off, wt in zip(corner_off, corner_wt):
+        flat_idx = (flat_idx[None] + off[:, None]).reshape(-1, *base.shape)
+        weights = (weights[None] * wt[:, None]).reshape(-1, *base.shape)
+    vals = conc.reshape(-1)[flat_idx]          # ONE gather of [C, ...]
+    return jnp.sum(vals * weights, axis=0)
 
 
 def bank_wind(bank: FieldBank, idx, t=None) -> jnp.ndarray:

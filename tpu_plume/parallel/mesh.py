@@ -62,6 +62,9 @@ def shard_loop_carry(loop: Any, mesh: Mesh) -> Any:
         obs=shard_batch(loop.rollout.obs, mesh),
         accum=shard_batch(loop.rollout.accum, mesh),
         key=jax.device_put(loop.rollout.key, NamedSharding(mesh, P())),
+        # recurrent-policy carry is per-env [N, H]: shard with the envs
+        hidden=(None if loop.rollout.hidden is None
+                else shard_batch(loop.rollout.hidden, mesh)),
     )
     return loop.replace(
         train_state=replicate(loop.train_state, mesh),

@@ -181,18 +181,31 @@ def ppo_update_recurrent(
         grads, metrics = grad_fn(ts.params, ts.apply_fn, mb, cfg)
         return ts.apply_gradients(grads=grads), metrics
 
-    def split_envs(x, perm):
-        # leaves are either [T, N, ...] (time-major) or [N, ...] (h_init)
-        if x.ndim >= 2 and x.shape[0] == T and x.shape[1] == N:
-            s = x[:, perm]
-            s = s.reshape(T, num_minibatches, envs_per_mb, *x.shape[2:])
-            return jnp.moveaxis(s, 1, 0)  # [M, T, n, ...]
-        s = x[perm]
-        return s.reshape(num_minibatches, envs_per_mb, *x.shape[1:])
+    _TIME_MAJOR_FIELDS = (
+        "obs", "actions", "old_log_probs", "advantages",
+        "returns", "old_values", "resets",
+    )
 
     def epoch_step(ts: TrainState, epoch_key: jax.Array):
         perm = jax.random.permutation(epoch_key, N)
-        shuffled = jax.tree.map(lambda x: split_envs(x, perm), batch)
+
+        def split_time_major(x):
+            # [T, N, ...] -> [M, T, n, ...]
+            s = x[:, perm].reshape(T, num_minibatches, envs_per_mb, *x.shape[2:])
+            return jnp.moveaxis(s, 1, 0)
+
+        def split_env_major(x):
+            # [N, ...] -> [M, n, ...]
+            return x[perm].reshape(num_minibatches, envs_per_mb, *x.shape[1:])
+
+        # Dispatch by FIELD, not by array shape: h_init leaves are [N, H]
+        # and a shape test misclassifies them whenever T == N and H == N
+        # (e.g. envs 128, unroll 128, lstm_hidden 128), permuting hidden
+        # units instead of envs.
+        shuffled = batch.replace(
+            h_init=jax.tree.map(split_env_major, batch.h_init),
+            **{f: split_time_major(getattr(batch, f)) for f in _TIME_MAJOR_FIELDS},
+        )
         ts, metrics = jax.lax.scan(minibatch_step, ts, shuffled)
         return ts, jax.tree.map(jnp.mean, metrics)
 

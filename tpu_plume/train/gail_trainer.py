@@ -225,6 +225,12 @@ def train_ppo_gail(
     with open(curve_path, "w") as f:
         f.write("iteration,episodes,successes,success_rate,mean_reward,"
                 "disc_loss,disc_acc,radius,gail_coef\n")
+    if gail_anneal_radius is not None and not gail_anneal_episodes:
+        raise ValueError(
+            "--gail-anneal-radius only arms the decay trigger; without "
+            "--gail-anneal (gail_anneal_episodes) no decay ever happens — "
+            "pass both or neither"
+        )
     anneal_start = 0 if gail_anneal_radius is None else None
 
     # Pipelined host sync (same pattern as train_ppo): the device runs up

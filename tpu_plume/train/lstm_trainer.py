@@ -354,7 +354,7 @@ def _flight_tail_dataset(
     cuts the val error ~4x vs generic NC capture (84 -> 23 px)."""
     data = np.load(flights_path)
     trajs, srcs = data["trajectories"], data["sources"]
-    feats, lens, targets = [], [], []
+    feats, lens, targets, groups = [], [], [], []
     for i in range(trajs.shape[0]):
         valid = np.isfinite(trajs[i, :, 0])
         rows = trajs[i, valid]
@@ -375,13 +375,16 @@ def _flight_tail_dataset(
             feats.append(w)
             lens.append(length)
             targets.append(tgt)
+            groups.append(i)
     if not feats:
         return (
             np.zeros((0, window, 3), np.float32),
             np.zeros((0,), np.int32),
             np.zeros((0, 2), np.float32),
+            np.zeros((0,), np.int32),
         )
-    return np.stack(feats), np.asarray(lens, np.int32), np.stack(targets)
+    return (np.stack(feats), np.asarray(lens, np.int32), np.stack(targets),
+            np.asarray(groups, np.int32))
 
 
 def train_source_lstm(
@@ -417,20 +420,31 @@ def train_source_lstm(
     os.makedirs(out_dir, exist_ok=True)
     rng0 = np.random.default_rng(seed)
     if flights_path is not None:
-        feats, lens, targets = _flight_tail_dataset(
+        feats, lens, targets, groups = _flight_tail_dataset(
             flights_path, window, grid_size, conc_peak, rng0
         )
     else:
-        feats, lens, targets = source_window_dataset(
+        feats, lens, targets, groups = source_window_dataset(
             nc_path, window_size=window, per_episode=per_episode,
             grid_size=grid_size, conc_peak=conc_peak, rng=rng0,
         )
     if len(feats) == 0:
         raise ValueError("no training windows — check the NC file / window size")
     rng = np.random.default_rng(seed)
-    perm = rng.permutation(len(feats))
-    n_val = max(1, int(len(feats) * val_frac))
-    val_idx, train_idx = perm[:n_val], perm[n_val:]
+    # Split at FLIGHT granularity: each flight emits several overlapping
+    # windows (same tail, different lengths), so a window-level split
+    # leaks every val flight into train and biases val_mean_err optimistic.
+    uniq = np.unique(groups)
+    gperm = rng.permutation(len(uniq))
+    n_val_groups = min(len(uniq) - 1, max(1, int(len(uniq) * val_frac))) or 1
+    val_groups = uniq[gperm[:n_val_groups]]
+    val_mask = np.isin(groups, val_groups)
+    val_idx = np.where(val_mask)[0]
+    train_idx = np.where(~val_mask)[0]
+    if len(train_idx) == 0:  # single-flight dataset: window-level fallback
+        perm = rng.permutation(len(feats))
+        n_val = max(1, int(len(feats) * val_frac))
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
 
     model = GaussianParamPredictor()
     params = model.init(
