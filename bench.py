@@ -155,7 +155,21 @@ def measure_reference_baseline(num_steps: int = 1500) -> float:
 # ---------------------------------------------------------------------------
 
 
-def measure_tpu(num_envs: int, unroll: int, iters: int, minibatches: int = 8) -> dict:
+def measure_tpu(
+    num_envs: int,
+    unroll: int,
+    iters: int,
+    minibatches: int = 8,
+    bank_kind: str = "none",
+    bank_gather: str = "auto",
+) -> dict:
+    """Fused-train-step throughput for one field configuration.
+
+    ``bank_kind``: "none" = analytic isotropic plume (the flagship config);
+    "2d" = static gridded bank [64, 500, 500] with integer-cell lookups;
+    "3d" = the full north-star path (BASELINE.json configs[4]) — 3-D flight
+    through a time-varying [4, 8, 8, 500, 500] WRF-LES-style volume with
+    sub-cell (x, y, z, t) multilinear queries and wind advection."""
     import jax
 
     _enable_compile_cache(jax)
@@ -172,9 +186,19 @@ def measure_tpu(num_envs: int, unroll: int, iters: int, minibatches: int = 8) ->
     from tpu_plume.train.ppo_trainer import LoopCarry, build_train_step, make_train_state
 
     batch = num_envs * unroll
+    if bank_kind == "2d":
+        env_cfg = EnvConfig(max_steps=1000, plume_sigma=15.0, plume_model="gridded")
+    elif bank_kind == "3d":
+        env_cfg = EnvConfig(
+            max_steps=1000, plume_sigma=15.0, plume_model="gridded",
+            env_3d=True, subcell_sampling=True, wind_advect_coef=0.5,
+            bank_gather_mode=bank_gather,
+        )
+    else:
+        env_cfg = EnvConfig(max_steps=1000, plume_sigma=500 / 16)
     cfg = TrainConfig(
         name="bench",
-        env=EnvConfig(max_steps=1000, plume_sigma=500 / 16),
+        env=env_cfg,
         # TPU-scale minibatching: same 5 epochs, minibatch sized for MXU
         # utilization instead of the reference's CPU-era 256.
         ppo=PPOConfig(minibatch_size=batch // minibatches, epochs=5),
@@ -183,14 +207,27 @@ def measure_tpu(num_envs: int, unroll: int, iters: int, minibatches: int = 8) ->
     )
     key = jax.random.PRNGKey(0)
     k_model, k_roll, k_loop = jax.random.split(key, 3)
+    bank = None
+    if bank_kind == "2d":
+        from tpu_plume.fields import gridded
+
+        bank = gridded.synthesize_bank(jax.random.PRNGKey(7), cfg.env, num_fields=64)
+    elif bank_kind == "3d":
+        from tpu_plume.fields import gridded
+
+        bank = gridded.synthesize_3d_bank(
+            jax.random.PRNGKey(7), cfg.env, num_fields=4, num_frames=8,
+            num_levels=8, steps_per_frame=128.0,
+        )
+        bank = gridded.maybe_pack(bank, cfg.env)
     loop = LoopCarry(
         train_state=make_train_state(cfg, k_model),
         rollout=init_rollout(k_roll, cfg.env, num_envs,
-                             radius=50.0, explore_bonus=0.6),
+                             radius=50.0, explore_bonus=0.6, bank=bank),
         curriculum=curriculum_init(cfg.curriculum, 0.6),
         key=k_loop,
     )
-    train_step = build_train_step(cfg)
+    train_step = build_train_step(cfg, bank=bank)
 
     # Timing discipline (CLAUDE.md): block_until_ready can return before
     # execution finishes on tunneled PJRT backends, so every measurement is
@@ -237,6 +274,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--baseline-steps", type=int, default=1500)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--bank", choices=["all", "none", "2d", "3d"], default="all",
+                    help="field path(s) to bench: the analytic flagship, a "
+                         "static 2-D gridded bank, the 3-D time-varying "
+                         "north-star bank, or all three (default)")
     args = ap.parse_args()
 
     if args.skip_baseline:
@@ -244,10 +285,12 @@ def main():
     else:
         base_sps = measure_reference_baseline(args.baseline_steps)
 
-    tpu = measure_tpu(args.envs, args.unroll, args.iters)
+    main_kind = "none" if args.bank == "all" else args.bank
+    tpu = measure_tpu(args.envs, args.unroll, args.iters, bank_kind=main_kind)
 
+    suffix = {"none": "", "2d": "_bank2d", "3d": "_bank3d"}[main_kind]
     result = {
-        "metric": f"env_steps_per_sec_fused_train_{args.envs}envs",
+        "metric": f"env_steps_per_sec_fused_train_{args.envs}envs{suffix}",
         "value": round(tpu["steps_per_sec"], 1),
         "unit": "env_steps/s",
         "vs_baseline": round(tpu["steps_per_sec"] / base_sps, 1),
@@ -259,6 +302,14 @@ def main():
             "platform": tpu["platform"],
         },
     }
+    if args.bank == "all":
+        # The north-star field paths (BASELINE.json configs[4]) next to the
+        # analytic flagship, in the one driver-captured artifact.
+        bank_iters = max(8, args.iters // 2)
+        for kind in ("2d", "3d"):
+            r = measure_tpu(args.envs, args.unroll, bank_iters, bank_kind=kind)
+            result["extra"][f"bank_{kind}_steps_per_sec"] = round(r["steps_per_sec"], 1)
+            result["extra"][f"bank_{kind}_compile_s"] = round(r["compile_s"], 1)
     print(json.dumps(result))
 
 

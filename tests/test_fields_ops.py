@@ -309,10 +309,11 @@ def test_sample_bank_points_subcell():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
-def test_sample_bank_points_fused_matches_corner():
-    """The single-flat-gather formulation must match the per-corner one on
-    every bank rank (3/4/5-D), batched queries included."""
-    from tpu_plume.fields.gridded import sample_bank_points
+def test_sample_bank_points_modes_agree():
+    """Every gather formulation (corner / fused / packed) must agree on
+    every bank rank (3/4/5-D), batched queries included — they are layout
+    optimizations, not semantics changes."""
+    from tpu_plume.fields.gridded import pack_time_levels, sample_bank_points
 
     cfg, bank5 = _bank3d()
     rng = np.random.default_rng(2)
@@ -330,12 +331,26 @@ def test_sample_bank_points_fused_matches_corner():
         "3d": (FieldBank(conc=bank5.conc[:, 0, 0], source=bank5.source), {}),
     }
     for name, (bank, kw) in banks.items():
-        fused = np.asarray(sample_bank_points(bank, idx, x, y, **kw))
+        packed_bank = pack_time_levels(bank)
         corner = np.asarray(
             sample_bank_points(bank, idx, x, y, gather_mode="corner", **kw)
         )
-        np.testing.assert_allclose(fused, corner, rtol=1e-5, atol=1e-6,
-                                   err_msg=name)
+        for mode, b in [("fused", bank), ("packed", packed_bank),
+                        ("auto", packed_bank), ("auto", bank)]:
+            got = np.asarray(
+                sample_bank_points(b, idx, x, y, gather_mode=mode, **kw)
+            )
+            np.testing.assert_allclose(got, corner, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"{name}/{mode}")
+    # t/z edge clamping parity: queries at the last frame / top level
+    t_edge = jnp.full((n,), 44, jnp.int32)
+    z_edge = jnp.full((n,), bank5.z_extent, jnp.float32)
+    corner = np.asarray(sample_bank_points(
+        bank5, idx, x, y, t=t_edge, z=z_edge, gather_mode="corner"))
+    packed = np.asarray(sample_bank_points(
+        pack_time_levels(bank5), idx, x, y, t=t_edge, z=z_edge,
+        gather_mode="packed"))
+    np.testing.assert_allclose(packed, corner, rtol=1e-5, atol=1e-6)
 
 
 def test_bank_wind_time_interpolation():
@@ -364,6 +379,41 @@ def test_3d_bank_netcdf_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded.wind), np.asarray(bank.wind), rtol=1e-6)
     assert loaded.steps_per_frame == bank.steps_per_frame
     assert loaded.z_extent == bank.z_extent
+
+
+def test_ingest_external_writer_fixture():
+    """``ingest_netcdf`` must read a committed bank file produced by an
+    INDEPENDENT writer (netCDF4-python/xarray conventions — see
+    tests/fixtures/make_external_bank.py): WRF dim scales, CF
+    scale_factor/add_offset packing, _FillValue-masked cells, float64
+    storage, no leading source axis, release point as global attrs."""
+    import os
+
+    from tpu_plume.fields.gridded import ingest_netcdf, sample_bank_points
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "external_bank.nc")
+    bank = ingest_netcdf(
+        path, conc_var="ch4", source_x_var="release_x", source_y_var="release_y",
+        wind_u_var="U", wind_v_var="V", steps_per_frame=10.0, z_extent=30.0,
+    )
+    assert bank.conc.shape == (1, 3, 4, 24, 24)      # [T,Z,H,W] promoted to K=1
+    assert bank.wind.shape == (1, 3, 2)
+    np.testing.assert_allclose(np.asarray(bank.source), [[8.0, 15.0]])
+
+    conc = np.asarray(bank.conc[0])
+    # CF unpacking applied: the blob peak at frame 0 sits at the release
+    # point with value ~80 (packed as (80-10)/0.5 = 140 on disk)
+    assert abs(conc[0, 0, 8, 15] - 80.0) < 1.0
+    # fill-masked cells became 0, and nothing kept the raw packed fill
+    assert conc.min() >= 0.0 and not np.any(conc <= -1.0)
+    # the blob advects east ~2 cells/frame
+    assert conc[2, 0, 12, 15] > conc[0, 0, 12, 15]
+    # queryable through the hot path
+    v = float(sample_bank_points(
+        bank, jnp.int32(0), jnp.float32(8.0), jnp.float32(15.0),
+        jnp.int32(0), jnp.float32(0.0),
+    ))
+    assert abs(v - 80.0) < 1.0
 
 
 def test_trilinear_zyx_xla_exact_and_midpoint():

@@ -168,3 +168,58 @@ def test_make_guide_gates_unsupported_models():
         make_guide(EnvConfig(plume_model="anisotropic"))
     with pytest.raises(ValueError):
         make_guide(dataclasses.replace(EnvConfig(), env_3d=True))
+
+
+def test_derived_config_matches_tuned_at_v2_0_physics():
+    """derive_guide_config must reproduce the hand-tuned GuideConfig at the
+    physics it was tuned on (sigma=31.25, TI=3, peak=100, move=25,
+    terminate=50, success@40) — the derivation is a generalization, not a
+    silent retune."""
+    from tpu_plume.evaluation.guidance import derive_guide_config
+
+    d = derive_guide_config(EnvConfig(plume_sigma=500 / 16))
+    t = GuideConfig()
+    for field, tol in [
+        ("conc_floor", 0.15), ("enter_weak", 0.15), ("enter_strong", 0.15),
+        ("resid_floor", 0.2), ("cross_check_conc", 0.15),
+        ("cross_check_tol", 0.2), ("radial_move_min", 0.05),
+        ("deep_target", 0.01), ("setup_distance", 0.01), ("max_se", 0.01),
+        ("probe_in_min", 0.01), ("terminate_radius", 0.0),
+    ]:
+        dv, tv = getattr(d, field), getattr(t, field)
+        assert abs(dv - tv) <= tol * max(abs(tv), 1e-9) + 1e-9, (
+            f"{field}: derived {dv} vs tuned {tv}"
+        )
+
+
+def test_derived_config_v2_1_feasibility():
+    """sigma=15 under the radius-50 protocol has NO readable signal outside
+    the goal ball — the derivation must refuse loudly; under the precision
+    protocol (terminate 5) it must produce a working config."""
+    import pytest
+
+    from tpu_plume.evaluation.guidance import derive_guide_config
+
+    v21 = EnvConfig(plume_sigma=15.0)
+    with pytest.raises(ValueError, match="infeasible"):
+        derive_guide_config(v21, terminate_radius=50.0)
+
+    g = derive_guide_config(v21, terminate_radius=5.0, success_radius=50.0)
+    assert g.terminate_radius == 5.0
+    assert g.probe_in_min < 36.0   # probes happen inside the readable zone
+    # px tolerances shrink with sigma (sharper plume -> tighter inversion)
+    assert g.resid_floor < GuideConfig().resid_floor
+
+
+def test_guided_precision_on_v2_1_preset():
+    """The derived guide must work one preset away from where the constants
+    were tuned (round-2 VERDICT weak #2): sigma-15 plume, goal radius 5 —
+    the raster surveyor under derived guidance lands bullseyes."""
+    cfg = EnvConfig(max_steps=1000, plume_sigma=15.0)
+    ev = EvalConfig(episodes=48, success_distance=50.0)
+    apply_fn = _raster_apply(cfg)
+    mg = evaluate_policy(
+        {}, apply_fn, cfg, ev, jax.random.PRNGKey(1), goal_radius=5.0,
+        guide=make_guide(cfg, terminate_radius=5.0, success_radius=50.0),
+    )
+    assert (mg.deviations <= 5.0).mean() >= 0.4

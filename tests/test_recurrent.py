@@ -50,6 +50,30 @@ def test_step_sequence_equivalence():
     np.testing.assert_allclose(np.asarray(vseq), np.asarray(jnp.stack(values_chain)), atol=1e-5)
 
 
+def test_layer_norm_cell_step_sequence_equivalence():
+    """The LayerNorm-LSTM variant must satisfy the same step/sequence
+    contract the BPTT replay depends on."""
+    m = RecurrentActorCritic(lstm_hidden=16, embed_size=16, layer_norm_cell=True)
+    carry = m.initial_state(4)
+    params = m.init(jax.random.PRNGKey(0), carry, jnp.zeros((4, 6)))
+    obs_seq = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 6))
+    resets = jnp.zeros((8, 4), bool).at[3, 2].set(True)
+    _, lseq, vseq = m.apply(params, carry, obs_seq, resets, method="sequence")
+
+    c = carry
+    zero = m.initial_state(4)
+    chain = []
+    for t in range(8):
+        mask = resets[t][:, None]
+        c = jax.tree.map(lambda z, cc: jnp.where(mask, z, cc), zero, c)
+        c, lt, _ = m.apply(params, c, obs_seq[t])
+        chain.append(lt)
+    np.testing.assert_allclose(
+        np.asarray(lseq), np.asarray(jnp.stack(chain)), atol=1e-5
+    )
+    assert np.isfinite(np.asarray(vseq)).all()
+
+
 def test_rollout_replay_parity():
     """The update-side sequence replay (h_init + done-shifted resets) must
     reproduce the rollout's log_probs exactly — episode boundaries included

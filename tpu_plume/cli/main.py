@@ -36,6 +36,8 @@ def _load_params(args, cfg):
         )
     if getattr(args, "arch", None):
         ppo = dataclasses.replace(ppo, arch=args.arch)
+    if getattr(args, "ln_lstm", False):
+        ppo = dataclasses.replace(ppo, lstm_layer_norm=True)
     model = make_policy_model(cfg.replace(ppo=ppo))
     if args.pth:
         from tpu_plume.data.torch_export import import_actor_critic_pth
@@ -93,6 +95,10 @@ def _apply_overrides(cfg, args):
         )
     if getattr(args, "arch", None):
         ppo = dataclasses.replace(ppo, arch=args.arch)
+    if getattr(args, "shuffle_mode", None):
+        ppo = dataclasses.replace(ppo, shuffle_mode=args.shuffle_mode)
+    if getattr(args, "ln_lstm", False):
+        ppo = dataclasses.replace(ppo, lstm_layer_norm=True)
     cfg = cfg.replace(rollout=rollout, ppo=ppo)
     if args.episodes:
         cfg = cfg.replace(total_episodes=args.episodes)
@@ -104,11 +110,13 @@ def _apply_overrides(cfg, args):
 def _make_bank(args, cfg):
     """Build the FieldBank for gridded configs: ``--bank file.nc`` ingests a
     (possibly 3-D time-varying) WRF-LES NetCDF volume; ``--synth-bank``
-    generates one procedurally.  Returns None for analytic plume models."""
-    if getattr(args, "bank", None):
-        from tpu_plume.fields.gridded import ingest_netcdf
+    generates one procedurally.  Sub-cell configs get the packed
+    (t, z)-neighbor layout (fields.gridded.maybe_pack — the 4-gather hot
+    path).  Returns None for analytic plume models."""
+    from tpu_plume.fields import gridded
 
-        return ingest_netcdf(args.bank)
+    if getattr(args, "bank", None):
+        return gridded.maybe_pack(gridded.ingest_netcdf(args.bank), cfg.env)
     kind = getattr(args, "synth_bank", None)
     if kind is None:
         if cfg.env.plume_model == "gridded":
@@ -118,24 +126,24 @@ def _make_bank(args, cfg):
         return None
     import jax
 
-    from tpu_plume.fields import gridded
-
     key = jax.random.PRNGKey(getattr(args, "bank_seed", 0) or 0)
     k = args.bank_fields or (4 if kind == "3d" else 64)
     if kind == "static":
-        return gridded.synthesize_bank(key, cfg.env, num_fields=k)
-    if kind == "time":
-        return gridded.synthesize_time_varying_bank(
+        bank = gridded.synthesize_bank(key, cfg.env, num_fields=k)
+    elif kind == "time":
+        bank = gridded.synthesize_time_varying_bank(
             key, cfg.env, num_fields=k,
             num_frames=args.bank_frames or 16,
             steps_per_frame=args.bank_spf or 64.0,
         )
-    return gridded.synthesize_3d_bank(
-        key, cfg.env, num_fields=k,
-        num_frames=args.bank_frames or 8,
-        num_levels=args.bank_levels or 8,
-        steps_per_frame=args.bank_spf or 128.0,
-    )
+    else:
+        bank = gridded.synthesize_3d_bank(
+            key, cfg.env, num_fields=k,
+            num_frames=args.bank_frames or 8,
+            num_levels=args.bank_levels or 8,
+            steps_per_frame=args.bank_spf or 128.0,
+        )
+    return gridded.maybe_pack(bank, cfg.env)
 
 
 def cmd_train(args):
@@ -256,27 +264,37 @@ def cmd_eval(args):
     rnn = model if isinstance(model, RecurrentActorCritic) else None
     guide = None
     if args.guide == "fit":
-        import dataclasses as _dc
+        from tpu_plume.evaluation.guidance import make_guide
 
-        from tpu_plume.evaluation.guidance import GuideConfig, make_guide
+        # Thresholds and dive geometry are DERIVED from the env physics
+        # (sigma/TI/peak/move) and the protocol (terminator radius, success
+        # distance) — see derive_guide_config.  A preset whose physics make
+        # hover-outside guidance impossible (e.g. ppo_v2_1's sigma-15 plume
+        # under the radius-50 protocol: readable only to ~40 px) raises a
+        # clear error instead of silently chord-pinning.
+        guide = make_guide(
+            cfg.env,
+            terminate_radius=args.goal_radius,
+            success_radius=cfg.eval.success_distance,
+        )
+    elif args.guide == "learned":
+        import jax.numpy as jnp
 
-        gcfg = GuideConfig()
-        if args.goal_radius is not None:
-            # The guide's crossing model must match the episode terminator,
-            # and the dive geometry scales with it: land at <= 0.8r (capped
-            # at the protocol-tuned 30), set up one move-step out from the
-            # landing target, and demand a fit se proportional to the
-            # landing tolerance (tiny goal balls need tighter fits).
-            r = args.goal_radius
-            deep = min(30.0, 0.8 * r)
-            gcfg = _dc.replace(
-                gcfg,
-                terminate_radius=r,
-                deep_target=deep,
-                setup_distance=deep + 24.0,
-                max_se=min(gcfg.max_se, max(1.5, 0.8 * deep)),
-            )
-        guide = make_guide(cfg.env, gcfg)
+        from tpu_plume.data.checkpoint import restore_checkpoint
+        from tpu_plume.evaluation.learned_guide import make_learned_guide
+
+        if not args.guide_ckpt:
+            raise SystemExit("--guide learned requires --guide-ckpt "
+                             "(train-lstm --variant params checkpoint)")
+        bundle = restore_checkpoint(args.guide_ckpt)
+        gparams = jax.tree.map(jnp.asarray, bundle["params"])
+        guide = make_learned_guide(
+            cfg.env, gparams,
+            terminate_radius=(50.0 if args.goal_radius is None
+                              else args.goal_radius),
+            success_radius=cfg.eval.success_distance,
+            stable_tol=args.guide_stable_tol,
+        )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
@@ -422,6 +440,7 @@ def cmd_flux(args):
         env, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes or 64, num_steps=args.steps,
         policy=policy, params=params,
+        estimated_positions=args.estimated,
     )
     print(json.dumps(out))
 
@@ -461,6 +480,15 @@ def build_parser():
                         help="enable jax_debug_nans (find the op producing NaNs)")
         sp.add_argument("--lr", type=float)
         sp.add_argument("--entropy", type=float)
+        sp.add_argument("--ln-lstm", action="store_true",
+                        help="LayerNorm-LSTM cell for --arch lstm")
+        sp.add_argument("--shuffle-mode",
+                        choices=["roll", "permutation", "affine"],
+                        help="PPO minibatch shuffle: circular rotation "
+                             "(default; zero gather cost), full random "
+                             "permutation (reference semantics, "
+                             "train_ppo2.0.py:44-46), or an O(1) affine "
+                             "bijection")
         sp.add_argument("--depth-coef", type=float,
                         help="terminal goal-ball crossing-depth bonus coef "
                              "(EnvConfig.terminal_depth_coef; default 0 = "
@@ -566,12 +594,23 @@ def build_parser():
                          "history and report the localization error "
                          "alongside the endpoint deviation")
     sp.add_argument("--localize-window", type=int, default=64)
-    sp.add_argument("--guide", choices=["none", "fit"], default="none",
+    sp.add_argument("--guide", choices=["none", "fit", "learned"],
+                    default="none",
                     help="terminal guidance: 'fit' trilaterates the source "
                          "online from the agent's own concentration samples "
                          "and phase-controls the goal-ball crossing "
-                         "(evaluation.guidance; reported separately from "
-                         "protocol-faithful rows)")
+                         "(evaluation.guidance; isotropic fields only); "
+                         "'learned' runs a trained source-localizer LSTM "
+                         "(--guide-ckpt) inside the eval scan and drives "
+                         "the same phase controller — works on anisotropic "
+                         "and gridded fields (evaluation.learned_guide). "
+                         "Reported separately from protocol-faithful rows")
+    sp.add_argument("--guide-ckpt",
+                    help="localizer checkpoint dir for --guide learned "
+                         "(from train-lstm --variant params)")
+    sp.add_argument("--guide-stable-tol", type=float, default=6.0,
+                    help="px agreement between consecutive localizer "
+                         "estimates required to open the learned gate")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("expert", help="generate expert demonstrations")
@@ -585,6 +624,10 @@ def build_parser():
     sp.add_argument("--sources", type=int, default=3)
     sp.add_argument("--steps", type=int, default=400,
                     help="survey steps per episode")
+    sp.add_argument("--estimated", action="store_true",
+                    help="END-TO-END pipeline: estimate source positions "
+                         "from the flight data (no oracle positions) and "
+                         "report joint position+strength error")
     sp.set_defaults(fn=cmd_flux)
 
     sp = sub.add_parser("inspect-nc", help="dump NetCDF dataset schema")

@@ -68,6 +68,16 @@ class EnvConfig:
     # sub-cell multilinear interpolation of the (x, y[, z], t) query point
     # (the north-star per-UAV field query).
     subcell_sampling: bool = False
+    # Multilinear-corner fetch formulation (all parity-tested):
+    #   "auto"   — packed (t,z)-component layout when it fits HBM (4x bank
+    #              memory, FOUR gathers — fastest measured), else corner;
+    #   "packed" — force the packed layout;
+    #   "corner" — one scattered gather per corner (2/4/8/16);
+    #   "fused"  — one flat-index gather for every corner (2x slower than
+    #              corner on v5e; kept for parity tests / other backends).
+    # v5e @4096 queries over [4,8,8,500,500] (RESULTS.md round 3,
+    # sample-only): packed 5.3M, corner 2.5M, fused ~1.1M samples/s.
+    bank_gather_mode: str = "auto"
     # Horizontal advection of the agent by the field wind (grid units of
     # displacement per unit wind per step); 0 disables.  Gridded banks supply
     # per-frame wind (FieldBank.wind); the analytic models use the episode
@@ -232,6 +242,10 @@ class PPOConfig:
     arch: str = "mlp"
     lstm_hidden: int = 128
     lstm_embed: int = 128
+    # LayerNorm-LSTM cell for the recurrent policy (Ba et al. 2016):
+    # normalizes gate pre-activations + cell output — an optimization
+    # stabilizer for long BPTT chunks.
+    lstm_layer_norm: bool = False
 
 
 @dataclass(frozen=True)

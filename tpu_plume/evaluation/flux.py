@@ -60,11 +60,26 @@ def invert_fluxes(
     valid: jnp.ndarray | None = None,   # bool[N] sample mask
     saturation_frac: float = 0.95,
     ridge: float = 1e-6,
+    debias_noise: bool = True,
+    column_mask: jnp.ndarray | None = None,   # bool[S] supported sources
 ) -> jnp.ndarray:
     """Least-squares per-source strengths q [S] (ridge-regularized normal
     equations — fixed shapes, jit/vmap-safe).  Invalid and saturated samples
-    are masked out by zero row weights."""
+    are masked out by zero row weights.
+
+    ``debias_noise`` subtracts the additive turbulence MEAN before the
+    solve: the reference's turbulence model TI*(|N| + 0.3 sin cos + 0.2 U)
+    is non-zero-mean (~0.9 TI — fields/analytic.py), and an un-debiased
+    constant offset is soaked up by whichever kernel column covers the most
+    samples, biasing that source's strength high."""
     a = design_matrix(points, sources, wind, cfg, z)
+    if column_mask is not None:
+        # zero unsupported columns (sources the flight never sampled):
+        # with the scaled ridge they resolve to q ~= 0 instead of soaking
+        # up other sources' signal from wherever their estimate landed
+        a = a * column_mask.astype(jnp.float32)[None, :]
+    if debias_noise:
+        concs = concs - cfg.turbulence_intensity * (0.7978845608 + 0.1)
     w = (concs < saturation_frac * cfg.conc_peak).astype(jnp.float32)
     if valid is not None:
         w = w * valid.astype(jnp.float32)
@@ -91,6 +106,113 @@ def source_observability(
     return jnp.max(a, axis=0) >= frac * cfg.conc_peak
 
 
+def estimate_sources(
+    points: jnp.ndarray,      # f32[N, 2] sample positions
+    concs: jnp.ndarray,       # f32[N] measured concentrations
+    num_sources: int,
+    cfg: EnvConfig,
+    suppress_radius: float | None = None,
+    em_iters: int = 8,
+    return_strengths: bool = False,
+):
+    """Estimate the source POSITIONS from the flight samples alone — the
+    honest front end for flux inversion (round-2 VERDICT weak #4: feeding
+    ``all_sources`` ground truth into the design matrix made the README's
+    <20% goal an oracle number).
+
+    Two fixed-shape stages (jit/vmap-safe):
+      1. greedy peak picking: repeatedly take the highest-concentration
+         sample not within ``suppress_radius`` of an already-picked peak —
+         one candidate per source;
+      2. concentration-weighted soft EM refinement: samples are
+         soft-assigned to the nearest candidate and each candidate moves to
+         its conc^3-weighted centroid (the cubic weight concentrates the
+         estimate at the plume core rather than the downwind ribbon).
+
+    Returns f32[S, 2], or (positions, strengths) with
+    ``return_strengths=True``: the log-Gaussian fit's intercept yields each
+    source's strength jointly with its position (q = exp(b0 - b3 |mu|^2) /
+    conc_peak) — SELF-CONSISTENT with the estimated position, which makes
+    it far more robust to the few-px localization error than the global
+    least-squares (where a 5-10 px core shift swings the fitted strength
+    tens of percent).  Isotropic model only; unobserved sources yield
+    whatever peak remains — pair with ``source_observability`` when
+    scoring."""
+    if suppress_radius is None:
+        suppress_radius = 3.0 * cfg.plume_sigma
+
+    def pick(carry, _):
+        masked_concs, = carry
+        i = jnp.argmax(masked_concs)
+        p = points[i]
+        far = jnp.linalg.norm(points - p[None, :], axis=-1) > suppress_radius
+        return (jnp.where(far, masked_concs, -1.0),), p
+
+    (_,), peaks = jax.lax.scan(
+        pick, (concs,), None, length=num_sources
+    )                                           # [S, 2]
+
+    w = jnp.maximum(concs, 0.0) ** 3
+    # assignment kernel ~ the plume core width: wide enough to pool the
+    # near-source samples, sharp enough that clusters don't merge (a 3-sigma
+    # scale collapses every centroid to the global weighted mean)
+    assign_scale = jnp.maximum(cfg.plume_sigma, 1e-3)
+
+    def em(peaks, _):
+        d2 = jnp.sum(
+            (points[:, None, :] - peaks[None, :, :]) ** 2, axis=-1
+        )                                       # [N, S]
+        resp = jax.nn.softmax(-d2 / (2.0 * assign_scale**2), axis=-1)
+        rw = resp * w[:, None]                  # [N, S]
+        denom = rw.sum(0) + 1e-9                # [S]
+        new = (rw[:, :, None] * points[:, None, :]).sum(0) / denom[:, None]
+        return new, None
+
+    peaks, _ = jax.lax.scan(em, peaks, None, length=em_iters)
+
+    # Stage 3 — log-Gaussian refinement (locally exact for the isotropic
+    # model): near a peak, log c = const - |p - mu|^2 / (2 sigma^2), linear
+    # in [1, x, y, x^2+y^2].  A weighted 4-param LLS per source recovers mu
+    # in closed form; weights confine the fit to the source's own core
+    # (distance kernel x conc^2 SNR), where contamination from the other
+    # plumes is negligible.  The weighted-centroid stage above is biased
+    # ~10 px toward the sampling cloud; this stage removes that bias.
+    noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
+    logc = jnp.log(jnp.maximum(concs - noise_mean, 1e-3))
+    x1, x2 = points[:, 0], points[:, 1]
+    feats = jnp.stack([jnp.ones_like(x1), x1, x2, x1**2 + x2**2], axis=-1)
+    d2_all = jnp.sum(
+        (points[:, None, :] - peaks[None, :, :]) ** 2, axis=-1
+    )                                            # [N, S]
+    resp_all = jax.nn.softmax(-d2_all / (2.0 * assign_scale**2), axis=-1)
+    unsat = (concs < 0.95 * cfg.conc_peak).astype(jnp.float32)
+
+    def refine(peak, resp):
+        d2 = jnp.sum((points - peak[None, :]) ** 2, axis=-1)
+        # responsibility gate keeps the fit on THIS cluster's samples —
+        # without it a weak source's fit is dragged by a neighbor's skirt
+        wt = (resp * unsat * jnp.exp(-d2 / (2.0 * assign_scale**2))
+              * jnp.maximum(concs, 0.0) ** 2)
+        xtw = feats.T * wt[None, :]
+        beta = jnp.linalg.solve(
+            xtw @ feats + 1e-6 * jnp.eye(4), xtw @ logc
+        )
+        mu = jnp.stack([beta[1], beta[2]]) / (-2.0 * beta[3] + 1e-12)
+        # keep the centroid when the quadratic is degenerate (beta3 >= 0
+        # means no local max) or the refinement jumped out of the core
+        ok = (beta[3] < 0) & (jnp.linalg.norm(mu - peak) <= 2.0 * assign_scale)
+        mu = jnp.where(ok, mu, peak)
+        # strength from the same fit: log(q * peak) = b0 - b3 |mu|^2
+        q = jnp.exp(beta[0] - beta[3] * jnp.sum(mu**2)) / cfg.conc_peak
+        q = jnp.where(ok & jnp.isfinite(q), q, 0.0)
+        return mu, q
+
+    mus, qs = jax.vmap(refine)(peaks, resp_all.T)
+    if return_strengths:
+        return mus, qs
+    return mus
+
+
 def flux_inversion_study(
     cfg: EnvConfig,
     key: jax.Array,
@@ -98,11 +220,18 @@ def flux_inversion_study(
     num_steps: int = 400,
     policy: Optional[Callable] = None,   # (obs[N,D]) -> logits; None = random
     params=None,
+    estimated_positions: bool = False,
 ) -> dict:
     """Fly ``num_episodes`` surveys, collect (position, conc) samples, invert
     fluxes per episode, and report relative-error statistics against the
     seed-derived true strengths — the README <20% goal as a measured number.
-    """
+
+    ``estimated_positions=True`` runs the END-TO-END pipeline: source
+    positions come from ``estimate_sources`` (the flight data alone), the
+    design matrix is built on the estimates, and the report adds the joint
+    position error (each estimate scored against its greedy nearest true
+    source).  False keeps the oracle-positions variant (strength-only
+    error — an upper bound, reported for comparison)."""
     from tpu_plume.env.methane import reset, step_noise
 
     n = num_episodes
@@ -143,26 +272,90 @@ def flux_inversion_study(
         concs = jnp.swapaxes(concs, 0, 1)
 
         def one(field, p, zz, c):
-            srcs = all_sources(field, cfg)
+            srcs_true = all_sources(field, cfg)
             q_true = source_strengths(field, cfg)
             zq = zz if cfg.env_3d else None
-            q_est = invert_fluxes(p, c, srcs, field.wind, cfg, z=zq)
-            observed = source_observability(p, srcs, field.wind, cfg, z=zq)
-            rel = jnp.abs(q_est - q_true) / q_true
-            return q_est, q_true, rel, observed
+            if estimated_positions:
+                srcs, q_local = estimate_sources(
+                    p, c, cfg.num_sources, cfg, return_strengths=True
+                )
+                if cfg.plume_model == "isotropic":
+                    # the local log-Gaussian fit's strength is self-
+                    # consistent with its own position estimate — far more
+                    # robust to few-px localization error than the global
+                    # LS (measured: see RESULTS.md round 3)
+                    q_est = q_local
+                else:
+                    q_est = invert_fluxes(p, c, srcs, field.wind, cfg, z=zq)
+            else:
+                srcs = srcs_true
+                q_est = invert_fluxes(p, c, srcs, field.wind, cfg, z=zq)
+            observed = source_observability(p, srcs_true, field.wind, cfg, z=zq)
+            return q_est, q_true, srcs, srcs_true, observed
 
         return jax.vmap(one)(env_state.field, pts, zs, concs)
 
-    q_est, q_true, rel, observed = jax.jit(run)(reset_keys, k_act, k_noise)
-    rel = np.asarray(rel)
+    q_est, q_true, srcs_est, srcs_true, observed = jax.jit(run)(
+        reset_keys, k_act, k_noise
+    )
+    q_est = np.asarray(q_est)
+    q_true = np.asarray(q_true)
+    srcs_est = np.asarray(srcs_est)
+    srcs_true = np.asarray(srcs_true)
     observed = np.asarray(observed)
+
+    # Host-side greedy matching of estimated to true sources per episode
+    # (S <= a handful): estimates are unordered when positions are learned
+    # from data, so both the strength and the position error are scored
+    # against the matched true source.
+    s = q_true.shape[1]
+    rel = np.empty_like(q_true)
+    pos_err = np.empty_like(q_true)
+    for ep in range(n):
+        d = np.linalg.norm(
+            srcs_est[ep][:, None, :] - srcs_true[ep][None, :, :], axis=-1
+        )
+        assigned = np.full(s, -1)
+        dd = d.copy()
+        for _ in range(s):
+            i, j = np.unravel_index(np.argmin(dd), dd.shape)
+            assigned[i] = j
+            dd[i, :] = np.inf
+            dd[:, j] = np.inf
+        for i in range(s):
+            j = assigned[i]
+            rel[ep, j] = abs(q_est[ep, i] - q_true[ep, j]) / q_true[ep, j]
+            pos_err[ep, j] = d[i, j]
+
     rel_obs = rel[observed]
-    return {
+    pos_obs = pos_err[observed]
+    out = {
         "episodes": n,
-        "sources": int(q_true.shape[1]),
+        "sources": int(s),
+        "estimated_positions": bool(estimated_positions),
         "observed_frac": float(observed.mean()),
         "mean_rel_error": float(rel_obs.mean()) if rel_obs.size else float("nan"),
         "median_rel_error": float(np.median(rel_obs)) if rel_obs.size else float("nan"),
         "p90_rel_error": float(np.quantile(rel_obs, 0.9)) if rel_obs.size else float("nan"),
         "within_20pct": float((rel_obs < 0.2).mean()) if rel_obs.size else 0.0,
     }
+    if estimated_positions:
+        # Strengths are only as good as the positions they were inverted
+        # at — segment by localization quality so the joint error is
+        # readable: a source whose peak the flight never sampled closely
+        # cannot have a meaningful flux (its kernel column is wrong).
+        loc = observed & (pos_err <= 20.0)
+        rel_loc = rel[loc]
+        out.update({
+            "mean_pos_error": float(pos_obs.mean()) if pos_obs.size else float("nan"),
+            "median_pos_error": float(np.median(pos_obs)) if pos_obs.size else float("nan"),
+            "pos_within_20px": float((pos_obs <= 20.0).mean()) if pos_obs.size else 0.0,
+            "localized_frac": float(loc.mean()),
+            "mean_rel_error_localized":
+                float(rel_loc.mean()) if rel_loc.size else float("nan"),
+            "median_rel_error_localized":
+                float(np.median(rel_loc)) if rel_loc.size else float("nan"),
+            "within_20pct_localized":
+                float((rel_loc < 0.2).mean()) if rel_loc.size else 0.0,
+        })
+    return out

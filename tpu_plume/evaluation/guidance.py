@@ -93,6 +93,86 @@ class GuideConfig:
                                 # unreachable in one step
     # consecutive sub-floor steps before hover concedes the plume was lost
     lost_patience: int = 10
+    # --- noise-scaled thresholds (defaults tuned at the ppo_v2_0 physics:
+    # sigma=31.25, TI=3, peak=100; use derive_guide_config for other
+    # presets) ---
+    # absolute floor of the robust residual cut (px)
+    resid_floor: float = 12.0
+    # fit-vs-pointwise cross-check: where conc_n >= cross_check_conc the
+    # pointwise inversion is trusted to cross_check_tol px
+    cross_check_conc: float = 0.06
+    cross_check_tol: float = 10.0
+    # |delta d_hat| across one move that counts as a trusted radial
+    # measurement (above the turbulence-displacement noise)
+    radial_move_min: float = 6.0
+
+
+_NOISE_STD_FRAC = 0.623  # std of (|N(0,1)| + 0.3 sin*cos + 0.2 U) per unit TI
+
+
+def derive_guide_config(
+    cfg: EnvConfig,
+    terminate_radius: float = 50.0,
+    success_radius: float = 40.0,
+) -> GuideConfig:
+    """Derive every guide threshold from the field physics instead of the
+    ppo_v2_0 constants (round-2 VERDICT weak #2).
+
+    Noise thresholds scale with the debiased turbulence std in conc_n
+    units; px tolerances scale with the pointwise-inversion error
+    ``sigma^2 * noise / (r(c) * c)``; geometry scales with the terminator
+    and the move step.  At the ppo_v2_0 physics (sigma=31.25, TI=3,
+    peak=100, move=25, terminate=50, success@40) this reproduces the tuned
+    ``GuideConfig()`` defaults to within ~10%.
+
+    Raises ``ValueError`` when the physics make hover-outside guidance
+    impossible: if the readable annulus (conc above the acceptance floor)
+    ends inside the goal ball, there is no signal to trilaterate from
+    without terminating the episode — e.g. ppo_v2_1's sigma=15 plume under
+    the radius-50 protocol (readable out to ~40 px only).  Such configs
+    need a smaller ``terminate_radius`` (the precision protocol) or the
+    learned localizer route."""
+    import math
+
+    noise_n = _NOISE_STD_FRAC * cfg.turbulence_intensity / cfg.conc_peak
+    sigma = float(cfg.plume_sigma)
+    move = cfg.grid_size * cfg.move_frac
+
+    conc_floor = 1.6 * noise_n
+    r_max = sigma * math.sqrt(2.0 * math.log(1.0 / max(conc_floor, 1e-9)))
+    if r_max < terminate_radius + 2.0:
+        raise ValueError(
+            f"hover-outside guidance infeasible: the plume is readable only "
+            f"to r~{r_max:.0f} px (sigma={sigma}, conc floor "
+            f"{conc_floor:.3f}) but the episode terminates at d<="
+            f"{terminate_radius} — every usable sample is inside the goal "
+            f"ball.  Use a smaller --goal-radius (precision protocol) or "
+            f"the learned localizer (--guide learned)."
+        )
+
+    def r_of(c):
+        return sigma * math.sqrt(2.0 * math.log(1.0 / max(c, 1e-9)))
+
+    def r_err(c):
+        return sigma**2 * noise_n / (r_of(c) * c)
+
+    deep = min(success_radius - 10.0, 0.8 * terminate_radius)
+    return GuideConfig(
+        conc_floor=conc_floor,
+        enter_weak=2.4 * noise_n,
+        enter_strong=3.3 * noise_n,
+        point_floor=conc_floor,
+        terminate_radius=terminate_radius,
+        deep_target=deep,
+        setup_distance=deep + move - 1.0,
+        max_se=min(6.0, max(1.5, 0.8 * deep)),
+        probe_in_min=terminate_radius + move + 5.0,
+        resid_floor=2.9 * r_err(2.0 * conc_floor),
+        max_residual=2.9 * r_err(2.0 * conc_floor),
+        cross_check_conc=3.3 * noise_n,
+        cross_check_tol=2.5 * r_err(3.3 * noise_n),
+        radial_move_min=0.24 * move,
+    )
 
 
 @struct.dataclass
@@ -203,7 +283,7 @@ def _solve_estimate(gs: GuideState, gcfg: GuideConfig):
         order = jnp.argsort(err)
         cum = jnp.cumsum(w[order])
         med = err[order[jnp.searchsorted(cum, 0.5 * w.sum())]]
-        keep = err <= jnp.maximum(2.5 * med, 12.0)
+        keep = err <= jnp.maximum(2.5 * med, gcfg.resid_floor)
         w = gs.w_buf * keep
         est, resid, se, wsum = _wlls(gs.pos_buf, gs.r2_buf, w)
     n_eff = (w > 0).sum()
@@ -213,6 +293,34 @@ def _solve_estimate(gs: GuideState, gcfg: GuideConfig):
         & (resid <= gcfg.max_residual)
     )
     return est, ok, se, n_eff
+
+
+def phase_action(
+    pos2: jnp.ndarray,
+    est: jnp.ndarray,
+    cfg: EnvConfig,
+    terminate_radius: float,
+    deep_target: float,
+    setup_distance: float,
+) -> jnp.ndarray:
+    """Crossing-phase control from a source estimate: 5-way lookahead that
+    takes a goal-ball crossing only when it lands deeper than
+    ``deep_target``, otherwise holds the setup ring one move out.  Shared
+    by the trilateration guide and the learned-localizer guide."""
+    deltas = _action_delta(jnp.arange(cfg.num_actions), cfg)[:, :2]
+    d_next = jnp.linalg.norm(pos2[None, :] + deltas - est[None, :], axis=-1)
+    crossing = d_next <= terminate_radius
+    deep = d_next <= deep_target
+    score = jnp.where(
+        crossing & deep,
+        d_next,  # crossing deep: deepest wins
+        jnp.where(
+            ~crossing,
+            1e3 + jnp.abs(d_next - setup_distance),  # set up the phase
+            2e3 + d_next,  # shallow crossing: last resort
+        ),
+    )
+    return jnp.argmin(score)
 
 
 def guide_step(
@@ -253,7 +361,9 @@ def guide_step(
     d_est_here = jnp.linalg.norm(pos[:2] - est)
     d_point = jnp.sqrt(jnp.maximum(r2, 0.0))
     ok = ok & jnp.where(
-        conc_n >= 0.06, jnp.abs(d_est_here - d_point) <= 10.0, True
+        conc_n >= gcfg.cross_check_conc,
+        jnp.abs(d_est_here - d_point) <= gcfg.cross_check_tol,
+        True,
     )
     gs = gs.replace(est=est, est_ok=ok)
 
@@ -264,7 +374,7 @@ def guide_step(
     # a trusted move measurement: consecutive pointwise reads around an
     # axis move, with a clearly radial component (|delta| above the
     # turbulence-displacement noise)
-    meas = have_d & gs.d_prev_ok & (jnp.abs(delta_d) > 6.0)
+    meas = have_d & gs.d_prev_ok & (jnp.abs(delta_d) > gcfg.radial_move_min)
     was_y = (gs.last_action == 1) | (gs.last_action == 2)
     was_x = (gs.last_action == 3) | (gs.last_action == 4)
     move_sign = jnp.where(
@@ -338,20 +448,10 @@ def guide_step(
 
     # ---- est-based lookahead (shared by hold ring and dive) ----------
     deltas = _action_delta(jnp.arange(cfg.num_actions), cfg)[:, :2]
-    d_next = jnp.linalg.norm(pos[None, :2] + deltas - est[None, :], axis=-1)
-    crossing = d_next <= gcfg.terminate_radius
-    deep = d_next <= gcfg.deep_target
-    # dive: deep crossings win outright; otherwise hold the setup ring
-    score = jnp.where(
-        crossing & deep,
-        d_next,  # crossing deep: deepest wins
-        jnp.where(
-            ~crossing,
-            1e3 + jnp.abs(d_next - gcfg.setup_distance),  # set up the phase
-            2e3 + d_next,  # shallow crossing: last resort
-        ),
+    g_action = phase_action(
+        pos[:2], est, cfg,
+        gcfg.terminate_radius, gcfg.deep_target, gcfg.setup_distance,
     )
-    g_action = jnp.argmin(score)
 
     # (A pre-dive est-based "hold ring" was tried here and measured WORSE
     # at every se gate — a partially-converged estimate misleads
@@ -396,13 +496,22 @@ def guide_step(
     return gs, action, overriding
 
 
-def make_guide(cfg: EnvConfig, gcfg: GuideConfig | None = None):
+def make_guide(
+    cfg: EnvConfig,
+    gcfg: GuideConfig | None = None,
+    terminate_radius: float | None = None,
+    success_radius: float = 40.0,
+):
     """(init_state, step_fn) pair for evaluate_policy's guide hook.
+
+    With ``gcfg=None`` the thresholds are DERIVED from the env physics via
+    ``derive_guide_config`` (sigma/TI/peak/move/terminator) — one preset's
+    tuned constants are not silently applied to another's physics.
 
     Supported field models: the analytic isotropic Gaussian (the
     radial-symmetric inversion).  Anisotropic / gridded banks would need a
     different forward model — the learned route for those is the V2.1
-    ``GaussianParamPredictor`` zoo head."""
+    ``GaussianParamPredictor`` zoo head (``--guide learned``)."""
     if cfg.env_3d:
         raise ValueError("terminal guidance is 2-D (planimetric) only")
     if cfg.plume_model != "isotropic":
@@ -410,7 +519,12 @@ def make_guide(cfg: EnvConfig, gcfg: GuideConfig | None = None):
             "trilateration guidance inverts the isotropic analytic plume; "
             f"plume_model={cfg.plume_model!r} is not supported"
         )
-    gcfg = gcfg or GuideConfig()
+    if gcfg is None:
+        gcfg = derive_guide_config(
+            cfg,
+            terminate_radius=50.0 if terminate_radius is None else terminate_radius,
+            success_radius=success_radius,
+        )
     return (
         guide_init(gcfg),
         lambda gs, pos, conc, act: guide_step(gs, pos, conc, act, cfg, gcfg),

@@ -160,7 +160,10 @@ def evaluate_policy(
     k_reset, k_scan = jax.random.split(key)
     reset_keys = jax.random.split(k_reset, n)
 
-    def run(reset_keys, k_scan):
+    # bank rides as a jit ARGUMENT: a closed-over bank becomes a compiled
+    # constant, which the tunneled backend serializes into the compile
+    # request (a packed 3-D bank blows the transport limit — HTTP 413).
+    def run(reset_keys, k_scan, bank):
         env_state, obs = jax.vmap(
             lambda k: reset(k, env_cfg, radius=goal_radius, bank=bank)
         )(reset_keys)
@@ -274,7 +277,7 @@ def evaluate_policy(
                 carry.env_state.field.source)
 
     (deviation, steps, stopped_early, peak_pred, final_conc, tracked,
-     gdiag, sources) = jax.jit(run)(reset_keys, k_scan)
+     gdiag, sources) = jax.jit(run)(reset_keys, k_scan, bank)
     deviation = np.asarray(deviation)
     return EvalMetrics(
         deviations=deviation,
@@ -323,7 +326,7 @@ def generate_expert_data(
     k_reset, k_scan = jax.random.split(key)
     reset_keys = jax.random.split(k_reset, n)
 
-    def run(reset_keys, k_scan):
+    def run(reset_keys, k_scan, bank):
         env_state, obs = jax.vmap(lambda k: reset(k, env_cfg, bank=bank))(reset_keys)
         finished = jnp.zeros(n, bool)
         pol0 = rnn.initial_state(n) if rnn is not None else jnp.zeros(n)
@@ -357,7 +360,7 @@ def generate_expert_data(
         )
         return states, actions, valid
 
-    states, actions, valid = jax.jit(run)(reset_keys, k_scan)
+    states, actions, valid = jax.jit(run)(reset_keys, k_scan, bank)
     mask = np.asarray(valid).reshape(-1)
     states = np.asarray(states).reshape(-1, env_cfg.obs_dim)[mask]
     actions = np.asarray(actions).reshape(-1)[mask]

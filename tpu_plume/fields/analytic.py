@@ -250,7 +250,10 @@ def sample_conc_tke(
         from tpu_plume.fields.gridded import sample_bank, sample_bank_points
 
         if cfg.subcell_sampling and xy is not None:
-            base = sample_bank_points(bank, field.idx, xy[..., 0], xy[..., 1], t, z)
+            base = sample_bank_points(
+                bank, field.idx, xy[..., 0], xy[..., 1], t, z,
+                gather_mode=cfg.bank_gather_mode,
+            )
         else:
             base = sample_bank(bank, field.idx, ix, iy, t, z)
     elif cfg.plume_model == "anisotropic":

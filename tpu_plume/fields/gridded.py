@@ -51,6 +51,15 @@ class FieldBank:
     wind: jnp.ndarray | None = None   # f32[K, 2] | f32[K, T, 2] | None
     steps_per_frame: float = struct.field(pytree_node=False, default=1.0)
     z_extent: float = struct.field(pytree_node=False, default=0.0)
+    # Optional packed layout built by ``pack_time_levels``: the (t, z)
+    # interpolation NEIGHBORS of every cell stored as trailing vector
+    # components ([K,T,Z,H,W,4] for 5-D, [K,T,H,W,2] for 4-D, clamp-padded
+    # at the t/z edges).  One gather then fetches a cell's whole (t, z)
+    # corner set, so exact multilinear sampling needs FOUR gathers (the xy
+    # corners) instead of 16.  Measured on v5e at 4096 queries over
+    # [4,8,8,500,500]: 5.3M vs 2.5M samples/s (sample-only microbench) —
+    # gather COUNT, not bytes, is the cost driver.  Costs 4x (2x) bank HBM.
+    conc_packed: jnp.ndarray | None = None
 
 
 def _frame_weights(bank: FieldBank, t, like) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -105,22 +114,66 @@ def sample_bank(bank: FieldBank, idx, ix, iy, t=None, z=None) -> jnp.ndarray:
     return (1.0 - ft) * lo + ft * hi
 
 
+def pack_time_levels(bank: FieldBank) -> FieldBank:
+    """Build the packed (t, z)-neighbor layout (see ``FieldBank.conc_packed``).
+
+    5-D [K,T,Z,H,W] -> packed [K,T,Z,H,W,4] with components
+    (t0z0, t0z1, t1z0, t1z1), clamp-padded at the t/z edges (reproducing
+    the corner sampler's ``z1 = min(z0+1, Z-1)`` / ``t0 <= T-2`` semantics).
+    4-D -> [K,T,H,W,2] with (t0, t1).  3-D banks have no (t, z) axes —
+    returned unchanged."""
+    conc = bank.conc
+    if conc.ndim == 5:
+        vt = jnp.concatenate([conc, conc[:, -1:]], axis=1)
+        vz = jnp.concatenate([vt, vt[:, :, -1:]], axis=2)
+        t_dim, z_dim = conc.shape[1], conc.shape[2]
+        comps = [
+            vz[:, dt:dt + t_dim, dz:dz + z_dim]
+            for dt in (0, 1) for dz in (0, 1)
+        ]
+        return bank.replace(conc_packed=jnp.stack(comps, axis=-1))
+    if conc.ndim == 4:
+        vt = jnp.concatenate([conc, conc[:, -1:]], axis=1)
+        t_dim = conc.shape[1]
+        comps = [vt[:, dt:dt + t_dim] for dt in (0, 1)]
+        return bank.replace(conc_packed=jnp.stack(comps, axis=-1))
+    return bank
+
+
+def maybe_pack(bank: FieldBank, cfg: EnvConfig) -> FieldBank:
+    """Apply ``pack_time_levels`` when the config wants sub-cell sampling
+    and the packed copy fits a sane HBM budget (auto mode skips packing
+    past 4 GB — huge ingested banks keep the 16-gather path)."""
+    if not cfg.subcell_sampling or bank.conc.ndim == 3:
+        return bank
+    if cfg.bank_gather_mode not in ("auto", "packed"):
+        return bank
+    factor = 4 if bank.conc.ndim == 5 else 2
+    if (cfg.bank_gather_mode == "auto"
+            and bank.conc.size * 4 * factor > 4e9):
+        return bank
+    return pack_time_levels(bank)
+
+
 def sample_bank_points(
-    bank: FieldBank, idx, x, y, t=None, z=None, *, gather_mode: str = "fused"
+    bank: FieldBank, idx, x, y, t=None, z=None, *, gather_mode: str = "auto"
 ) -> jnp.ndarray:
     """Sub-cell multilinear sample at float points: bilinear in (x, y),
     linear in z (5-D banks) and in t (4/5-D banks) — the per-UAV
     (x, y, z, t) field query of the north star.  Broadcasts over leading
     axes.
 
-    ``gather_mode="fused"`` (default) emits ONE flat-index gather for all
-    2/4/8/16 interpolation corners of the whole query batch instead of one
-    scattered gather per corner: on a v5e each scattered gather costs
-    ~0.5 ms of fixed overhead regardless of index count, so fusing the
-    5-D bank's 16 corner reads into one gather takes the 4096-env step
-    from ~3 ms to sub-millisecond (see RESULTS.md round 3).
-    ``gather_mode="corner"`` keeps the per-corner formulation (used by the
-    parity test and as a fallback)."""
+    ``gather_mode`` (all parity-tested against each other):
+      - "auto" (default): "packed" when the bank carries the
+        ``pack_time_levels`` layout, else "corner";
+      - "packed": FOUR gathers of (t, z)-component vectors — the fastest
+        exact formulation measured on v5e (5.3M vs 2.5M samples/s
+        sample-only; full-step numbers in RESULTS.md round 3);
+      - "corner": one scattered gather per corner (2/4/8/16);
+      - "fused": ONE flat-index gather for every corner of the batch —
+        measured 2x SLOWER than corner (0.84M vs 1.5M env-steps/s full
+        step): XLA runs independent small gathers faster than a single
+        16x-index gather.  Kept for parity testing and other backends."""
     h, w = bank.conc.shape[-2], bank.conc.shape[-1]
     x = jnp.clip(jnp.asarray(x, jnp.float32), 0.0, h - 1.0)
     y = jnp.clip(jnp.asarray(y, jnp.float32), 0.0, w - 1.0)
@@ -129,6 +182,14 @@ def sample_bank_points(
     fx = x - x0
     fy = y - y0
 
+    if gather_mode == "auto":
+        gather_mode = "packed" if bank.conc_packed is not None else "corner"
+    if gather_mode == "packed":
+        if bank.conc_packed is None and bank.conc.ndim >= 4:
+            raise ValueError(
+                'gather_mode="packed" needs pack_time_levels(bank) first'
+            )
+        return _sample_points_packed(bank, idx, x0, y0, fx, fy, t, z)
     if gather_mode == "fused":
         return _sample_points_fused(bank, idx, x0, y0, fx, fy, t, z)
 
@@ -139,6 +200,67 @@ def sample_bank_points(
     v01 = plane(x0, y0 + 1)
     v10 = plane(x0 + 1, y0)
     v11 = plane(x0 + 1, y0 + 1)
+    return (v00 * (1 - fx) * (1 - fy) + v01 * (1 - fx) * fy
+            + v10 * fx * (1 - fy) + v11 * fx * fy)
+
+
+@jax.custom_batching.custom_vmap
+def _gather_components(packed, idx):
+    """packed[(*idx,)] with a custom vmap rule.
+
+    vmap of the scalar-query form rewrites the indexing to a
+    dynamic-slice whose batching rule XLA lowers with a minormost
+    component axis — the T(8, 128) tiled layout then pads 4 -> 128 and a
+    relayout copy of the whole bank explodes HBM (measured: a 1 GB packed
+    bank demanded a 33 GB copy).  The rule below re-traces the SAME
+    expression with the whole index batch as vector advanced indexing —
+    one ordinary gather, the formulation the microbenchmark measured at
+    5.3M samples/s."""
+    return packed[tuple(idx)]
+
+
+@_gather_components.def_vmap
+def _gather_components_vmap(axis_size, in_batched, packed, idx):
+    del axis_size
+    packed_batched, _ = in_batched
+    assert not packed_batched, "field bank must be un-vmapped"
+    return packed[tuple(idx)], True
+
+
+def _sample_points_packed(bank: FieldBank, idx, x0, y0, fx, fy, t, z):
+    """Four xy-corner gathers over the ``pack_time_levels`` layout; the
+    (t, z) interpolation is a dot with per-query component weights."""
+    packed = bank.conc_packed
+    idx = jnp.asarray(idx)
+    if packed is None:           # 3-D bank: no (t, z) axes to pack
+
+        def at(ix, iy):
+            return bank.conc[idx, ix, iy]
+    elif packed.ndim == 6:        # [K,T,Z,H,W,4]
+        t0, ft = _frame_weights(bank, t, jnp.asarray(x0))
+        z0, fz = _level_weights(bank, z, jnp.asarray(x0))
+        wts = jnp.stack(
+            [(1 - ft) * (1 - fz), (1 - ft) * fz, ft * (1 - fz), ft * fz],
+            axis=-1,
+        )
+
+        def at(ix, iy):
+            comp = _gather_components(packed, (idx, t0, z0, ix, iy))
+            return jnp.sum(comp * wts, axis=-1)
+    elif packed.ndim == 5:      # [K,T,H,W,2]
+        t0, ft = _frame_weights(bank, t, jnp.asarray(x0))
+        wts = jnp.stack([1 - ft, ft], axis=-1)
+
+        def at(ix, iy):
+            comp = _gather_components(packed, (idx, t0, ix, iy))
+            return jnp.sum(comp * wts, axis=-1)
+    else:
+        raise ValueError(f"unexpected packed rank {packed.ndim}")
+
+    v00 = at(x0, y0)
+    v01 = at(x0, y0 + 1)
+    v10 = at(x0 + 1, y0)
+    v11 = at(x0 + 1, y0 + 1)
     return (v00 * (1 - fx) * (1 - fy) + v01 * (1 - fx) * fy
             + v10 * fx * (1 - fy) + v11 * fx * fy)
 
@@ -346,17 +468,42 @@ def ingest_netcdf(
     import h5py
 
     with h5py.File(path, "r") as f:
-        conc = np.asarray(f[conc_var], np.float32)
+        var = f[conc_var]
+        conc = np.asarray(var, np.float64)
+        # CF-convention unpacking (netCDF4-python / xarray writers): packed
+        # integers carry scale_factor/add_offset; missing cells carry
+        # _FillValue (or are NaN).  Treat missing as zero concentration.
+        vattrs = dict(var.attrs)
+        if "_FillValue" in vattrs:
+            # _FillValue matches the RAW (packed) value — mask before unpacking
+            fill = float(np.asarray(vattrs["_FillValue"]))
+            conc = np.where(conc == fill, np.nan, conc)
+        if "scale_factor" in vattrs or "add_offset" in vattrs:
+            conc = (conc * float(np.asarray(vattrs.get("scale_factor", 1.0)))
+                    + float(np.asarray(vattrs.get("add_offset", 0.0))))
+        conc = np.nan_to_num(conc, nan=0.0).astype(np.float32)
         if conc.ndim == 2:            # [H, W] -> [1, H, W]
             conc = conc[None]
-        sx = np.atleast_1d(np.asarray(f[source_x_var], np.float32))
-        sy = np.atleast_1d(np.asarray(f[source_y_var], np.float32))
+        attrs = dict(f.attrs)
+
+        def read_coord(name):
+            # variable first, then a global attribute (some writers record
+            # the release point as file metadata rather than data)
+            if name in f:
+                return np.atleast_1d(np.asarray(f[name], np.float32))
+            if name in attrs:
+                return np.atleast_1d(np.asarray(attrs[name], np.float32))
+            raise KeyError(
+                f"{name} not found in {path} (neither variable nor attribute)"
+            )
+
+        sx = read_coord(source_x_var)
+        sy = read_coord(source_y_var)
         wind = None
         if wind_u_var in f and wind_v_var in f:
             wu = np.asarray(f[wind_u_var], np.float32)
             wv = np.asarray(f[wind_v_var], np.float32)
             wind = np.stack([wu, wv], axis=-1)     # [K, 2] or [K, T, 2] or [T, 2]
-        attrs = dict(f.attrs)
     k = sx.shape[0]
     if conc.shape[0] != k and conc.ndim >= 3:
         # file stored without the K axis ([T, H, W] / [T, Z, H, W]) — promote

@@ -25,18 +25,48 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class LayerNormLSTMCell(nn.Module):
+    """LSTM cell with layer normalization on the pre-activation gates and
+    the cell output — stabilizes recurrent-policy PPO training, where the
+    hidden-state scale drifts as the policy sharpens (the standard
+    LayerNorm-LSTM of Ba et al. 2016).  Interface-compatible with
+    ``nn.OptimizedLSTMCell``."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, x):
+        c, h = carry
+        z = (nn.Dense(4 * self.features, use_bias=False, dtype=self.dtype,
+                      name="ih")(x)
+             + nn.Dense(4 * self.features, use_bias=False, dtype=self.dtype,
+                        kernel_init=nn.initializers.orthogonal(),
+                        name="hh")(h))
+        z = nn.LayerNorm(dtype=self.dtype, name="ln_gates")(z)
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        # +1 forget bias (the usual stabilizer; flax's cells do the same)
+        new_c = nn.sigmoid(f + 1.0) * c + nn.sigmoid(i) * nn.tanh(g)
+        new_h = nn.sigmoid(o) * nn.tanh(
+            nn.LayerNorm(dtype=self.dtype, name="ln_cell")(new_c)
+        )
+        return (new_c, new_h), new_h
+
+
 class RecurrentActorCritic(nn.Module):
     """Dense encoder -> LSTMCell -> (actor, critic) heads.
 
     Init parity with the MLP actor-critic (orthogonal sqrt(2) encoder,
     0.01 actor, 1.0 critic — PPOV1.1/model.py:31-43); the LSTM cell keeps
-    flax defaults (orthogonal recurrent kernel).
+    flax defaults (orthogonal recurrent kernel).  ``layer_norm_cell``
+    swaps in the LayerNorm-LSTM variant.
     """
 
     num_actions: int = 5
     embed_size: int = 128
     lstm_hidden: int = 128
     dtype: jnp.dtype = jnp.float32
+    layer_norm_cell: bool = False
 
     def setup(self):
         self.encoder = nn.Dense(
@@ -46,7 +76,10 @@ class RecurrentActorCritic(nn.Module):
             dtype=self.dtype,
         )
         self.encoder_norm = nn.LayerNorm(dtype=self.dtype)
-        self.cell = nn.OptimizedLSTMCell(self.lstm_hidden, dtype=self.dtype)
+        if self.layer_norm_cell:
+            self.cell = LayerNormLSTMCell(self.lstm_hidden, dtype=self.dtype)
+        else:
+            self.cell = nn.OptimizedLSTMCell(self.lstm_hidden, dtype=self.dtype)
         self.actor = nn.Dense(
             self.num_actions,
             kernel_init=nn.initializers.orthogonal(0.01),

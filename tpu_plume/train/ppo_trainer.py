@@ -71,6 +71,7 @@ def make_policy_model(cfg: TrainConfig):
             embed_size=cfg.ppo.lstm_embed,
             lstm_hidden=cfg.ppo.lstm_hidden,
             dtype=dtype,
+            layer_norm_cell=cfg.ppo.lstm_layer_norm,
         )
     return ActorCritic(
         num_actions=cfg.env.num_actions,
@@ -94,6 +95,25 @@ def make_train_state(cfg: TrainConfig, key: jax.Array) -> TrainState:
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
+class _BankStep:
+    """A jitted train step with the field bank bound as a RUNTIME argument.
+
+    Closing over the bank would bake it into the compiled program as a
+    constant — the tunneled backend serializes constants into the compile
+    request, and a packed 3-D bank (>1 GB) blows the transport's body
+    limit (HTTP 413).  Passing it per call ships only the buffer handle."""
+
+    def __init__(self, jitted, bank):
+        self._jitted = jitted
+        self._bank = bank
+
+    def __call__(self, loop):
+        return self._jitted(loop, self._bank)
+
+    def lower(self, loop):
+        return self._jitted.lower(loop, self._bank)
+
+
 def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Callable:
     """One fused training iteration; jit once per config.
 
@@ -104,7 +124,7 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
     T = cfg.rollout.unroll_length
     rnn = make_policy_model(cfg) if ppo_cfg.arch == "lstm" else None
 
-    def train_step(loop: LoopCarry):
+    def train_step(loop: LoopCarry, bank):
         key, k_update = jax.random.split(loop.key)
 
         # Push current curriculum values into every env (reference
@@ -190,8 +210,8 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
         return new_loop, stats, traj
 
     if donate:
-        return jax.jit(train_step, donate_argnums=(0,))
-    return jax.jit(train_step)
+        return _BankStep(jax.jit(train_step, donate_argnums=(0,)), bank)
+    return _BankStep(jax.jit(train_step), bank)
 
 
 class RadiusTracker:
