@@ -179,8 +179,6 @@ def estimate_sources(
     # ~10 px toward the sampling cloud; this stage removes that bias.
     noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
     logc = jnp.log(jnp.maximum(concs - noise_mean, 1e-3))
-    x1, x2 = points[:, 0], points[:, 1]
-    feats = jnp.stack([jnp.ones_like(x1), x1, x2, x1**2 + x2**2], axis=-1)
     d2_all = jnp.sum(
         (points[:, None, :] - peaks[None, :, :]) ** 2, axis=-1
     )                                            # [N, S]
@@ -188,22 +186,34 @@ def estimate_sources(
     unsat = (concs < 0.95 * cfg.conc_peak).astype(jnp.float32)
 
     def refine(peak, resp):
-        d2 = jnp.sum((points - peak[None, :]) ** 2, axis=-1)
+        # Coordinates CENTERED at the candidate and SCALED by the kernel
+        # width, so every design-matrix entry is O(1): the raw form
+        # (features up to x^2+y^2 ~ 2.5e5, squared again in X^T W X)
+        # loses the solve entirely to TPU matmul precision.
+        rel = (points - peak[None, :]) / assign_scale     # [N, 2], O(1)
+        r2 = jnp.sum(rel**2, axis=-1)
+        feats = jnp.stack(
+            [jnp.ones_like(r2), rel[:, 0], rel[:, 1], r2], axis=-1
+        )
         # responsibility gate keeps the fit on THIS cluster's samples —
         # without it a weak source's fit is dragged by a neighbor's skirt
-        wt = (resp * unsat * jnp.exp(-d2 / (2.0 * assign_scale**2))
-              * jnp.maximum(concs, 0.0) ** 2)
+        wt = resp * unsat * jnp.exp(-0.5 * r2) * jnp.maximum(concs, 0.0) ** 2
         xtw = feats.T * wt[None, :]
         beta = jnp.linalg.solve(
             xtw @ feats + 1e-6 * jnp.eye(4), xtw @ logc
         )
-        mu = jnp.stack([beta[1], beta[2]]) / (-2.0 * beta[3] + 1e-12)
+        mu_rel = jnp.stack([beta[1], beta[2]]) / (-2.0 * beta[3] + 1e-12)
+        mu = peak + mu_rel * assign_scale
         # keep the centroid when the quadratic is degenerate (beta3 >= 0
         # means no local max) or the refinement jumped out of the core
-        ok = (beta[3] < 0) & (jnp.linalg.norm(mu - peak) <= 2.0 * assign_scale)
+        ok = (beta[3] < 0) & (jnp.linalg.norm(mu_rel) <= 2.0)
         mu = jnp.where(ok, mu, peak)
-        # strength from the same fit: log(q * peak) = b0 - b3 |mu|^2
-        q = jnp.exp(beta[0] - beta[3] * jnp.sum(mu**2)) / cfg.conc_peak
+        mu_rel = jnp.where(ok, mu_rel, jnp.zeros_like(mu_rel))
+        # strength from the same fit: log(q*peak) = b0 - b3 |mu_rel|^2
+        # (scaled coordinates), exponent clipped against blow-ups of
+        # near-degenerate fits
+        log_qp = jnp.clip(beta[0] - beta[3] * jnp.sum(mu_rel**2), -20.0, 12.0)
+        q = jnp.exp(log_qp) / cfg.conc_peak
         q = jnp.where(ok & jnp.isfinite(q), q, 0.0)
         return mu, q
 
