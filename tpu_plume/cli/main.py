@@ -294,6 +294,8 @@ def cmd_eval(args):
                               else args.goal_radius),
             success_radius=cfg.eval.success_distance,
             stable_tol=args.guide_stable_tol,
+            min_window=args.guide_min_window,
+            check_every=args.guide_check_every,
         )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
@@ -611,6 +613,12 @@ def build_parser():
     sp.add_argument("--guide-stable-tol", type=float, default=6.0,
                     help="px agreement between consecutive localizer "
                          "estimates required to open the learned gate")
+    sp.add_argument("--guide-min-window", type=int, default=16,
+                    help="flight steps before the learned localizer runs "
+                         "its first stability check (lower it on configs "
+                         "whose episodes terminate in <100 steps)")
+    sp.add_argument("--guide-check-every", type=int, default=8,
+                    help="steps between learned-localizer stability checks")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("expert", help="generate expert demonstrations")

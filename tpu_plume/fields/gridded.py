@@ -158,7 +158,7 @@ def pack_time_levels(bank: FieldBank) -> FieldBank:
 def maybe_pack(bank: FieldBank, cfg: EnvConfig) -> FieldBank:
     """Apply ``pack_time_levels`` when the config wants sub-cell sampling
     and the packed copy fits a sane HBM budget (auto mode skips packing
-    past 4 GB — huge ingested banks keep the 16-gather path)."""
+    past 6 GB — huge ingested banks keep the 16-gather path)."""
     if not cfg.subcell_sampling or bank.conc.ndim == 3:
         return bank
     if cfg.bank_gather_mode not in ("auto", "packed"):
