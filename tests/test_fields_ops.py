@@ -335,10 +335,14 @@ def test_sample_bank_points_modes_agree():
         corner = np.asarray(
             sample_bank_points(bank, idx, x, y, gather_mode="corner", **kw)
         )
-        for mode, b in [("fused", bank), ("packed", packed_bank),
-                        ("auto", packed_bank), ("auto", bank)]:
+        cases = [("fused", bank), ("packed", packed_bank),
+                 ("auto", packed_bank), ("auto", bank),
+                 ("packed_y", pack_time_levels(bank, pack_xy=1)),
+                 ("packed_yx", pack_time_levels(bank, pack_xy=2))]
+        for mode, b in cases:
             got = np.asarray(
-                sample_bank_points(b, idx, x, y, gather_mode=mode, **kw)
+                sample_bank_points(b, idx, x, y,
+                                   gather_mode=mode.split("_")[0], **kw)
             )
             np.testing.assert_allclose(got, corner, rtol=1e-5, atol=1e-6,
                                        err_msg=f"{name}/{mode}")

@@ -20,6 +20,8 @@ samplers (XLA gather and MXU one-hot-matmul variants).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,14 +53,16 @@ class FieldBank:
     wind: jnp.ndarray | None = None   # f32[K, 2] | f32[K, T, 2] | None
     steps_per_frame: float = struct.field(pytree_node=False, default=1.0)
     z_extent: float = struct.field(pytree_node=False, default=0.0)
-    # Optional packed layout built by ``pack_time_levels``: the (t, z)
-    # interpolation NEIGHBORS of every cell stored as trailing vector
-    # components ([K,T,Z,H,W,4] for 5-D, [K,T,H,W,2] for 4-D, clamp-padded
-    # at the t/z edges).  One gather then fetches a cell's whole (t, z)
-    # corner set, so exact multilinear sampling needs FOUR gathers (the xy
-    # corners) instead of 16.  Measured on v5e at 4096 queries over
-    # [4,8,8,500,500]: 5.3M vs 2.5M samples/s (sample-only microbench) —
-    # gather COUNT, not bytes, is the cost driver.  Costs 4x (2x) bank HBM.
+    # Optional packed layout built by ``pack_time_levels``: interpolation
+    # NEIGHBORS of every cell stored as trailing vector components,
+    # clamp-padded at the packed edges.  Base level packs (t, z) —
+    # [K,T,Z,H,W,4] for 5-D, [K,T,H,W,2] for 4-D — so exact multilinear
+    # sampling needs FOUR xy-corner gathers instead of 16; ``pack_xy``
+    # levels additionally pack the +y and +x neighbors (trailing 8 / 16
+    # components), down to ONE gather per query at 16x bank HBM.
+    # Measured on v5e at 4096 queries over [4,8,8,500,500], sample-only:
+    # corner 2.5M / tz-pack 5.0M / +y 6.1M / +y+x 6.87M samples/s —
+    # gather COUNT, not bytes, is the cost driver.
     conc_packed: jnp.ndarray | None = None
 
 
@@ -114,63 +118,94 @@ def sample_bank(bank: FieldBank, idx, ix, iy, t=None, z=None) -> jnp.ndarray:
     return (1.0 - ft) * lo + ft * hi
 
 
-@jax.jit
-def _pack5(conc: jnp.ndarray) -> jnp.ndarray:
-    vt = jnp.concatenate([conc, conc[:, -1:]], axis=1)
-    vz = jnp.concatenate([vt, vt[:, :, -1:]], axis=2)
-    t_dim, z_dim = conc.shape[1], conc.shape[2]
-    comps = [
-        vz[:, dt:dt + t_dim, dz:dz + z_dim]
-        for dt in (0, 1) for dz in (0, 1)
-    ]
-    return jnp.stack(comps, axis=-1)
+def _append_neighbor(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Double the trailing component axis with each cell's clamp-padded
+    +1 neighbor along ``axis``: out[..., C:] = v[..., shifted, ..., :C]."""
+    pad = jnp.concatenate([v, jax.lax.slice_in_dim(v, v.shape[axis] - 1,
+                                                   v.shape[axis], axis=axis)],
+                          axis=axis)
+    shifted = jax.lax.slice_in_dim(pad, 1, v.shape[axis] + 1, axis=axis)
+    return jnp.concatenate([v, shifted], axis=-1)
 
 
-@jax.jit
-def _pack4(conc: jnp.ndarray) -> jnp.ndarray:
-    vt = jnp.concatenate([conc, conc[:, -1:]], axis=1)
-    t_dim = conc.shape[1]
-    comps = [vt[:, dt:dt + t_dim] for dt in (0, 1)]
-    return jnp.stack(comps, axis=-1)
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _pack_impl(conc: jnp.ndarray, ndim: int, pack_xy: int) -> jnp.ndarray:
+    if ndim == 5:
+        vt = jnp.concatenate([conc, conc[:, -1:]], axis=1)
+        vz = jnp.concatenate([vt, vt[:, :, -1:]], axis=2)
+        t_dim, z_dim = conc.shape[1], conc.shape[2]
+        packed = jnp.stack(
+            [vz[:, dt:dt + t_dim, dz:dz + z_dim]
+             for dt in (0, 1) for dz in (0, 1)], axis=-1)
+    elif ndim == 4:
+        vt = jnp.concatenate([conc, conc[:, -1:]], axis=1)
+        t_dim = conc.shape[1]
+        packed = jnp.stack([vt[:, dt:dt + t_dim] for dt in (0, 1)], axis=-1)
+    else:
+        packed = conc[..., None]
+    if pack_xy >= 1:
+        packed = _append_neighbor(packed, packed.ndim - 2)   # y axis
+    if pack_xy >= 2:
+        packed = _append_neighbor(packed, packed.ndim - 3)   # x axis
+    return packed
 
 
-def pack_time_levels(bank: FieldBank) -> FieldBank:
-    """Build the packed (t, z)-neighbor layout (see ``FieldBank.conc_packed``).
+def pack_time_levels(bank: FieldBank, pack_xy: int = 0) -> FieldBank:
+    """Build the packed neighbor layout (see ``FieldBank.conc_packed``).
 
-    5-D [K,T,Z,H,W] -> packed [K,T,Z,H,W,4] with components
+    ``pack_xy=0``: 5-D [K,T,Z,H,W] -> packed [K,T,Z,H,W,4] with components
     (t0z0, t0z1, t1z0, t1z1), clamp-padded at the t/z edges (reproducing
-    the corner sampler's ``z1 = min(z0+1, Z-1)`` / ``t0 <= T-2`` semantics).
-    4-D -> [K,T,H,W,2] with (t0, t1).  3-D banks have no (t, z) axes —
+    the corner sampler's ``z1 = min(z0+1, Z-1)`` / ``t0 <= T-2`` semantics);
+    4-D -> [K,T,H,W,2] with (t0, t1); 3-D banks have no (t, z) axes —
     returned unchanged.
+
+    ``pack_xy=1`` additionally packs each cell's +y neighbor components
+    (halves the xy-corner gathers to 2 at 2x more memory); ``pack_xy=2``
+    packs the +x neighbor too, so the ENTIRE multilinear sample is ONE
+    gather of a 16-component vector (5-D) at 16x bank memory — the
+    fastest formulation measured on v5e (6.87M vs 4.99M sample-only,
+    gather count being the cost driver).  3-D banks accept pack_xy >= 1
+    (trailing 2 / 4 components).
 
     The pack runs under jit so XLA fuses it to one input + one output
     buffer: built eagerly, the concat/slice/stack chain materializes
     every intermediate (a [16,8,8,500,500] bank peaked >10 GB transient
     and OOM'd a 16 GB v5e; jitted it fits with room to train)."""
-    conc = bank.conc
-    if conc.ndim == 5:
-        return bank.replace(conc_packed=_pack5(conc))
-    if conc.ndim == 4:
-        return bank.replace(conc_packed=_pack4(conc))
-    return bank
+    if bank.conc.ndim == 3 and pack_xy == 0:
+        return bank
+    return bank.replace(
+        conc_packed=_pack_impl(bank.conc, bank.conc.ndim, pack_xy))
 
 
 def maybe_pack(bank: FieldBank, cfg: EnvConfig) -> FieldBank:
-    """Apply ``pack_time_levels`` when the config wants sub-cell sampling
-    and the packed copy fits a sane HBM budget (auto mode skips packing
-    past 6 GB — huge ingested banks keep the 16-gather path)."""
-    if not cfg.subcell_sampling or bank.conc.ndim == 3:
+    """Apply ``pack_time_levels`` when the config wants sub-cell sampling,
+    at the DEEPEST pack level whose copy fits the HBM budget: fewer
+    gathers always win on v5e (gather count is the cost driver), so auto
+    mode trades bank memory for gather count greedily.
+
+    6 GB packed-copy budget: a v5e has 16 GB HBM and the training state
+    is <1 GB.  A [4,8,8,500,500] bank full-packs (pack_xy=2, one gather
+    per query) to 4.1 GB; a [16,...] bank falls back to the (t, z)-only
+    pack at 4.1 GB (3.2M env-steps/s vs 1.35M corner-path); banks too
+    big for any packed copy keep the 16-gather corner path.  Explicit
+    ``bank_gather_mode="packed"`` forces the (t, z) pack regardless of
+    budget."""
+    if not cfg.subcell_sampling:
         return bank
     if cfg.bank_gather_mode not in ("auto", "packed"):
         return bank
-    factor = 4 if bank.conc.ndim == 5 else 2
-    # 6 GB packed-copy budget: a v5e has 16 GB HBM and the training state
-    # is <1 GB; a [16,8,8,500,500] bank packs (jitted) to 4.1 GB and
-    # trains at 3.2M env-steps/s vs 1.35M on its corner-path fallback
-    if (cfg.bank_gather_mode == "auto"
-            and bank.conc.size * 4 * factor > 6e9):
-        return bank
-    return pack_time_levels(bank)
+    if cfg.bank_gather_mode == "packed":
+        if bank.conc.ndim == 3:
+            return bank
+        return pack_time_levels(bank)
+    base = {5: 4, 4: 2, 3: 1}[bank.conc.ndim]
+    for pack_xy in (2, 1, 0):
+        factor = base * (2 ** pack_xy)
+        if factor == 1:          # 3-D bank with nothing packed
+            return bank
+        if bank.conc.size * 4 * factor <= 6e9:
+            return pack_time_levels(bank, pack_xy)
+    return bank
 
 
 def sample_bank_points(
@@ -246,35 +281,58 @@ def _gather_components_vmap(axis_size, in_batched, packed, idx):
 
 
 def _sample_points_packed(bank: FieldBank, idx, x0, y0, fx, fy, t, z):
-    """Four xy-corner gathers over the ``pack_time_levels`` layout; the
-    (t, z) interpolation is a dot with per-query component weights."""
+    """Gathers over the ``pack_time_levels`` layout; the interpolation
+    over every packed axis is a dot with per-query component weights.
+    4 / 2 / 1 xy-corner gathers depending on the layout's ``pack_xy``
+    depth (read off the trailing component count)."""
     packed = bank.conc_packed
     idx = jnp.asarray(idx)
-    if packed is None:           # 3-D bank: no (t, z) axes to pack
-
-        def at(ix, iy):
-            return bank.conc[idx, ix, iy]
-    elif packed.ndim == 6:        # [K,T,Z,H,W,4]
+    nd = bank.conc.ndim
+    if nd == 5:
         t0, ft = _frame_weights(bank, t, jnp.asarray(x0))
         z0, fz = _level_weights(bank, z, jnp.asarray(x0))
+        lead = (idx, t0, z0)
         wts = jnp.stack(
             [(1 - ft) * (1 - fz), (1 - ft) * fz, ft * (1 - fz), ft * fz],
             axis=-1,
         )
-
-        def at(ix, iy):
-            comp = _gather_components(packed, (idx, t0, z0, ix, iy))
-            return jnp.sum(comp * wts, axis=-1)
-    elif packed.ndim == 5:      # [K,T,H,W,2]
+        base_c = 4
+    elif nd == 4:
         t0, ft = _frame_weights(bank, t, jnp.asarray(x0))
+        lead = (idx, t0)
         wts = jnp.stack([1 - ft, ft], axis=-1)
+        base_c = 2
+    else:
+        lead = (idx,)
+        wts = jnp.ones(jnp.shape(jnp.asarray(x0)) + (1,), jnp.float32)
+        base_c = 1
+
+    if packed is None:           # unpacked 3-D bank: plain corner reads
 
         def at(ix, iy):
-            comp = _gather_components(packed, (idx, t0, ix, iy))
-            return jnp.sum(comp * wts, axis=-1)
-    else:
-        raise ValueError(f"unexpected packed rank {packed.ndim}")
+            return bank.conc[idx, ix, iy]
 
+        y_packed = x_packed = False
+    else:
+        c = packed.shape[-1]
+        y_packed = c >= base_c * 2
+        x_packed = c == base_c * 4
+        # Progressive weight vector mirroring _pack_impl's component order.
+        if y_packed:
+            wts = jnp.concatenate(
+                [wts * (1 - fy)[..., None], wts * fy[..., None]], axis=-1)
+        if x_packed:
+            wts = jnp.concatenate(
+                [wts * (1 - fx)[..., None], wts * fx[..., None]], axis=-1)
+
+        def at(ix, iy):
+            comp = _gather_components(packed, lead + (ix, iy))
+            return jnp.sum(comp * wts, axis=-1)
+
+    if x_packed:                 # ONE gather: all corners are components
+        return at(x0, y0)
+    if y_packed:                 # two x-corner gathers
+        return (1 - fx) * at(x0, y0) + fx * at(x0 + 1, y0)
     v00 = at(x0, y0)
     v01 = at(x0, y0 + 1)
     v10 = at(x0 + 1, y0)
