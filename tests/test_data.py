@@ -199,3 +199,18 @@ def test_checkpoint_roundtrip(tmp_path):
     out = restore_checkpoint(path, target=tree)
     np.testing.assert_array_equal(out["a"], tree["a"])
     assert float(out["b"]["c"]) == 2.5
+
+
+def test_restore_missing_checkpoint_raises_friendly_error(tmp_path):
+    """Typed restore of an empty/partial checkpoint dir must raise a
+    FileNotFoundError naming the path, not ``AttributeError: 'NoneType'
+    object has no attribute 'tree'`` (the opaque Orbax failure mode when
+    a saving run crashed before its first save)."""
+    import pytest
+
+    from tpu_plume.data.checkpoint import restore_checkpoint
+
+    path = tmp_path / "ckpt"
+    path.mkdir()
+    with pytest.raises(FileNotFoundError, match="no readable checkpoint"):
+        restore_checkpoint(str(path))

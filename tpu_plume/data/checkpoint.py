@@ -43,7 +43,14 @@ def restore_checkpoint(path: str, target: Any | None = None) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if target is None:
-        meta = ckptr.metadata(path).item_metadata.tree
+        item_meta = ckptr.metadata(path).item_metadata
+        if item_meta is None or getattr(item_meta, "tree", None) is None:
+            raise FileNotFoundError(
+                f"no readable checkpoint at {path}: Orbax metadata is "
+                "missing or incomplete (the saving run may have crashed "
+                "before its first save, or the path is wrong)"
+            )
+        meta = item_meta.tree
         abstract = jax.tree.map(
             lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
             meta,
