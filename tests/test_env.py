@@ -240,6 +240,40 @@ def test_terminal_depth_bonus():
     )
 
 
+def test_terminal_gate_radius():
+    """terminal_gate_radius zeroes the WHOLE terminal bonus for crossings
+    shallower than the gate (the eval metric: success = dev <= 40 at the
+    first radius-50 crossing) and leaves deep crossings untouched."""
+    import dataclasses
+
+    base = EnvConfig(turbulence_intensity=1e-6)
+    gated = dataclasses.replace(base, terminal_gate_radius=40.0)
+    state, _ = methane.reset(jax.random.PRNGKey(0), base)
+    src = state.field.source
+    zero = jnp.zeros(2, jnp.float32)
+
+    # Deep crossing (10 units out): gate passes -> identical reward.
+    deep_state = state.replace(
+        pos=src + jnp.array([10.0, 0.0]), radius=jnp.float32(50.0)
+    )
+    _, tr_b = methane.step_noise(deep_state, jnp.int32(0), zero, base)
+    _, tr_g = methane.step_noise(deep_state, jnp.int32(0), zero, gated)
+    assert bool(tr_g.info.reached)
+    np.testing.assert_allclose(float(tr_g.reward), float(tr_b.reward), rtol=1e-5)
+
+    # Shallow graze (45 units out, inside radius 50 but outside the gate):
+    # reached and done, but the terminal bonus is withheld.
+    graze_state = state.replace(
+        pos=src + jnp.array([45.0, 0.0]), radius=jnp.float32(50.0)
+    )
+    _, tr_bs = methane.step_noise(graze_state, jnp.int32(0), zero, base)
+    _, tr_gs = methane.step_noise(graze_state, jnp.int32(0), zero, gated)
+    assert bool(tr_gs.info.reached) and bool(tr_gs.done)
+    withheld = float(tr_bs.reward - tr_gs.reward)
+    # base terminal bonus at radius 50 = coef * initial/radius = 150
+    np.testing.assert_allclose(withheld, 150.0, rtol=1e-4)
+
+
 def test_obs_memory_extension():
     """obs_memory appends [dconc/peak, one-hot(prev action)]: dim 6+1+5,
     delta equals the conc change caused by the move, prev-action one-hot

@@ -65,6 +65,12 @@ def _apply_overrides(cfg, args):
         cfg = cfg.replace(
             env=dataclasses.replace(cfg.env, terminal_depth_power=args.depth_power)
         )
+    if getattr(args, "terminal_gate", None) is not None:
+        cfg = cfg.replace(
+            env=dataclasses.replace(
+                cfg.env, terminal_gate_radius=args.terminal_gate
+            )
+        )
     if getattr(args, "obs_memory", False):
         cfg = cfg.replace(env=dataclasses.replace(cfg.env, obs_memory=True))
     if getattr(args, "reward", None):
@@ -499,6 +505,12 @@ def build_parser():
                         help="exponent on the normalized crossing depth "
                              "(EnvConfig.terminal_depth_power; >1 pays "
                              "grazes ~nothing, keeping a smooth gradient)")
+        sp.add_argument("--terminal-gate", type=float,
+                        help="success-gated terminal bonus: pay the whole "
+                             "terminal bonus only when the crossing lands "
+                             "within this distance of the source "
+                             "(EnvConfig.terminal_gate_radius; 40 = the "
+                             "reference eval metric; default 0 = off)")
         sp.add_argument("--reward", choices=["v1_0", "v1_1", "delta"],
                         help="reward form: v1_1 (reference code), v1_0, or "
                              "delta (the reference README's own "

@@ -159,6 +159,16 @@ class EnvConfig:
     # — power 2-3 pays a graze (depth 0.04) ~nothing while keeping a
     # smooth gradient, unlike a hard 1[d<=40] bonus.
     terminal_depth_power: float = 1.0
+    # Success-gated terminal bonus: when > 0, the WHOLE terminal bonus
+    # (base + depth) is multiplied by 1[distance <= gate] at the crossing
+    # step — the training reward becomes exactly the reference eval
+    # metric (success = deviation <= 40 at the first radius-50 crossing,
+    # PPOV2.0/evaluate_with_lstm.py).  A shallow 40-50 graze then ends
+    # the episode with NO terminal payout, so the policy learns to
+    # phase-adjust its approach (tangential steps before the final
+    # radial move) instead of crossing on a random chord.  0 disables
+    # (default; reference parity).
+    terminal_gate_radius: float = 0.0
     # v1_0-only knobs (PPOV1.0/ppo0.0.py:166-183)
     v10_flat_move_penalty: float = 0.05
     v10_boundary_margin_frac: float = 0.1

@@ -357,6 +357,12 @@ def step_noise(
         if cfg.terminal_depth_power != 1.0:
             depth = depth ** cfg.terminal_depth_power
         terminal_bonus = terminal_bonus + cfg.terminal_depth_coef * depth
+    if cfg.terminal_gate_radius:
+        # Pay the terminal bonus only for crossings at least as deep as
+        # the gate — the eval metric itself (success = dev <= 40).
+        terminal_bonus = terminal_bonus * (
+            distance <= cfg.terminal_gate_radius
+        ).astype(jnp.float32)
     total_reward = total_reward + jnp.where(reached, terminal_bonus, 0.0)
 
     done = (t_new >= cfg.max_steps) | reached
