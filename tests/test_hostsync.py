@@ -40,3 +40,55 @@ def test_drain_window_with_none_leaves():
     host = drain_window(entries)
     assert [h[1] for h in host] == [None, None, None]
     assert [float(h[0]) for h in host] == [0.0, 1.0, 2.0]
+
+
+def test_drain_window_rows_matches_full_drain():
+    """Device-side episode-row compaction must yield exactly the rows (and
+    flat (iter, t, n) order) the lossless full-mask drain produces."""
+    from tpu_plume.train.hostsync import drain_window_rows
+
+    rng = np.random.default_rng(0)
+    T, N, W = 4, 6, 3
+    keys = ("done", "steps", "total_reward")
+    entries = []
+    for i in range(W):
+        done = rng.random((T, N)) < 0.3
+        rec = {
+            "done": jnp.asarray(done),
+            "steps": jnp.asarray(rng.integers(1, 500, (T, N)), jnp.int32),
+            "total_reward": jnp.asarray(rng.normal(size=(T, N)), jnp.float32),
+        }
+        entries.append(({"loss": jnp.float32(i)}, rec))
+
+    cap = 64
+    host_stats, rows, count = drain_window_rows(entries, keys, cap)
+    assert [float(s["loss"]) for s in host_stats] == [0.0, 1.0, 2.0]
+
+    # reference: flatten each window entry in order, take done rows
+    exp_steps, exp_rew = [], []
+    for _, rec in entries:
+        mask = np.asarray(rec["done"]).reshape(-1)
+        exp_steps.append(np.asarray(rec["steps"]).reshape(-1)[mask])
+        exp_rew.append(np.asarray(rec["total_reward"]).reshape(-1)[mask])
+    exp_steps = np.concatenate(exp_steps)
+    exp_rew = np.concatenate(exp_rew)
+
+    assert count == len(exp_steps) <= cap
+    np.testing.assert_array_equal(rows["steps"][:count].astype(np.int32), exp_steps)
+    np.testing.assert_allclose(rows["total_reward"][:count], exp_rew, rtol=1e-6)
+
+
+def test_drain_window_rows_overflow_reports_true_count():
+    from tpu_plume.train.hostsync import drain_window_rows
+
+    T, N = 4, 8
+    rec = {
+        "done": jnp.ones((T, N), bool),
+        "steps": jnp.arange(T * N, dtype=jnp.int32).reshape(T, N),
+        "total_reward": jnp.zeros((T, N), jnp.float32),
+    }
+    _, rows, count = drain_window_rows(
+        [({"loss": jnp.float32(0)}, rec)], ("done", "steps", "total_reward"), 8
+    )
+    assert count == T * N  # true count, caller must fall back
+    np.testing.assert_array_equal(rows["steps"].astype(np.int32), np.arange(8))

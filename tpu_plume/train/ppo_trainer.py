@@ -496,13 +496,27 @@ def train_ppo(
 
     # One packed jitted transfer per window — see train/hostsync.py for
     # why (both transfers AND eager dispatches cost ~30 ms round trips).
-    from tpu_plume.train.hostsync import drain_window
+    from tpu_plume.train.hostsync import drain_window, drain_window_rows
+
+    # CSV-only records are compacted ON DEVICE to at most this many episode
+    # rows per window (masked gather fused into the packed-stats call) —
+    # moving the full [T, N] masks costs ~1.4 MB/iter through the tunnel,
+    # a measured 4x trainer slowdown.  Overflow falls back to the lossless
+    # full-mask drain, so the CSV artifact is exact either way.
+    record_cap = cfg.rollout.num_envs * max(sync_every, 1)
 
     def consume():
         nonlocal episodes, successes, t_steady, it_at_steady
         window = list(pending)
         pending.clear()
-        host = drain_window([(st, rec) for _, st, rec in window])
+        compact = csv_logger is not None and not with_traj
+        if compact:
+            host_stats, rows, row_count = drain_window_rows(
+                [(st, rec) for _, st, rec in window], REC_KEYS, record_cap
+            )
+            host = [(s, None) for s in host_stats]
+        else:
+            host = drain_window([(st, rec) for _, st, rec in window])
         for (it, _, _), (stats, rec) in zip(window, host):
             # NaN tripwire — the reference raises on NaN logits/probs
             # (PPOV1.1/model.py:47-49, PPOV2.0/train_ppo2.0.py:57-62); the
@@ -519,6 +533,16 @@ def train_ppo(
             episodes += int(stats["rollout/episodes"])
             successes += int(stats["rollout/successes"])
             _log(it, stats)
+        if compact:
+            if row_count <= record_cap:
+                valid = np.arange(record_cap) < row_count
+                csv_logger.log_records({"done": valid, **rows})
+            else:
+                # Rare cap overflow: re-drain the full masks so the episode
+                # CSV stays lossless (costs one extra window round trip).
+                full = drain_window([rec for _, _, rec in window])
+                for r in full:
+                    csv_logger.log_records({k: r[k] for k in REC_KEYS})
 
     while episodes < cfg.total_episodes:
         if max_iterations is not None and iteration >= max_iterations:
