@@ -501,9 +501,18 @@ def train_ppo(
     # CSV-only records are compacted ON DEVICE to at most this many episode
     # rows per window (masked gather fused into the packed-stats call) —
     # moving the full [T, N] masks costs ~1.4 MB/iter through the tunnel,
-    # a measured 4x trainer slowdown.  Overflow falls back to the lossless
-    # full-mask drain, so the CSV artifact is exact either way.
-    record_cap = cfg.rollout.num_envs * max(sync_every, 1)
+    # a measured 4x trainer slowdown.  Tier 1 covers mean episode length
+    # >= unroll/2; overflow re-packs the SAME window at the 8x tier-2 cap
+    # (episodes shorter than unroll/16 on average are not physically
+    # reachable — the goal is never closer than ~2 moves).  The full-mask
+    # drain_window fallback is a last resort only: issuing its brand-new
+    # 88-leaf pack program mid-run wedged the tunnel for good in a record
+    # run the first time an efficient policy overflowed tier 1.
+    _w = max(sync_every, 1)
+    record_caps = (
+        2 * cfg.rollout.num_envs * _w,
+        16 * cfg.rollout.num_envs * _w,
+    )
 
     def consume():
         nonlocal episodes, successes, t_steady, it_at_steady
@@ -511,9 +520,16 @@ def train_ppo(
         pending.clear()
         compact = csv_logger is not None and not with_traj
         if compact:
+            pairs = [(st, rec) for _, st, rec in window]
             host_stats, rows, row_count = drain_window_rows(
-                [(st, rec) for _, st, rec in window], REC_KEYS, record_cap
+                pairs, REC_KEYS, record_caps[0]
             )
+            record_cap = record_caps[0]
+            if row_count > record_cap:
+                host_stats, rows, row_count = drain_window_rows(
+                    pairs, REC_KEYS, record_caps[1]
+                )
+                record_cap = record_caps[1]
             host = [(s, None) for s in host_stats]
         else:
             host = drain_window([(st, rec) for _, st, rec in window])
@@ -538,8 +554,8 @@ def train_ppo(
                 valid = np.arange(record_cap) < row_count
                 csv_logger.log_records({"done": valid, **rows})
             else:
-                # Rare cap overflow: re-drain the full masks so the episode
-                # CSV stays lossless (costs one extra window round trip).
+                # Pathological tier-2 overflow (mean episode < unroll/16
+                # steps): last-resort lossless full-mask drain.
                 full = drain_window([rec for _, _, rec in window])
                 for r in full:
                     csv_logger.log_records({k: r[k] for k in REC_KEYS})
