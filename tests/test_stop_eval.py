@@ -144,3 +144,79 @@ def test_generate_expert_data(tmp_path):
 
     s, a = load_expert_data(path)
     assert s.shape == states.shape
+
+
+# ---- scripted oracle teachers (evaluation/oracle.py) ----
+
+def _oracle_state(pos, src):
+    """Minimal duck-typed EnvState for the pure-geometry oracle tests."""
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        pos=jnp.asarray(pos, jnp.float32),
+        field=SimpleNamespace(source=jnp.asarray(src, jnp.float32)),
+    )
+
+
+def test_oracle_phase_avoids_shallow_crossing():
+    """From d=60 along +x (move 25): crossing lands at 35 (deep) -> look1
+    takes it; from d=70 every crossing action lands shallow (45) -> phase
+    must take a non-crossing setup step while look1 staircases into the
+    shallow band."""
+    from tpu_plume.evaluation import make_oracle
+
+    cfg = EnvConfig(plume_sigma=500 / 16)
+    look1 = make_oracle("look1", cfg)
+    phase = make_oracle("phase", cfg)
+
+    deep_avail = _oracle_state([200.0, 250.0], [260.0, 250.0])  # d=60: +x lands 35
+    assert int(look1(deep_avail)) == 3
+    assert int(phase(deep_avail)) == 3
+
+    shallow_only = _oracle_state([190.0, 250.0], [260.0, 250.0])  # d=70: +x lands 45
+    assert int(look1(shallow_only)) == 3  # staircases into (40, 50]
+    a = int(phase(shallow_only))
+    assert a != 3  # refuses the shallow crossing
+    # and the chosen setup step must keep it outside the terminate ball
+    deltas = np.array([[0, 0], [0, 25], [0, -25], [25, 0], [-25, 0]], np.float32)
+    d_after = np.linalg.norm(np.array([190.0, 250.0]) + deltas[a] - [260.0, 250.0])
+    assert d_after > 50.0
+
+
+def test_oracle_phase_lands_deep_through_real_env():
+    """Statistical: the phase oracle's success@40 conditional through the
+    real (turbulent) env is ~85%; assert well above the ~33% chord level."""
+    from tpu_plume.env import methane
+    from tpu_plume.evaluation import make_oracle
+
+    cfg = EnvConfig(max_steps=120, plume_sigma=500 / 16)
+    oracle = make_oracle("phase", cfg)
+    act = jax.jit(oracle)
+    step_j = jax.jit(lambda s, a, k: methane.step(s, a, k, cfg))
+    key = jax.random.PRNGKey(0)
+    reached, deep = 0, 0
+    for ep in range(24):
+        key, rk = jax.random.split(key)
+        state, _ = methane.reset(rk, cfg)
+        for _ in range(cfg.max_steps):
+            key, sk = jax.random.split(key)
+            state, tr = step_j(state, act(state), sk)
+            if bool(tr.done):
+                if bool(tr.info.reached):
+                    reached += 1
+                    deep += bool(float(tr.info.distance) <= 40.0)
+                break
+    assert reached >= 16
+    assert deep / reached >= 0.6
+
+
+def test_generate_expert_data_oracle(tmp_path):
+    from tpu_plume.evaluation import make_oracle
+
+    oracle = make_oracle("phase", CFG)
+    states, actions = generate_expert_data(
+        None, None, CFG, jax.random.PRNGKey(1), num_episodes=8, oracle=oracle
+    )
+    assert states.shape[1] == CFG.obs_dim
+    assert states.shape[0] == actions.shape[0] > 0
+    assert 0 <= actions.min() and actions.max() < 5

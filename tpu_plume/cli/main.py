@@ -403,14 +403,21 @@ def cmd_expert(args):
     from tpu_plume.evaluation import generate_expert_data
 
     cfg = _apply_overrides(get_preset(args.preset), args)
-    model, params = _load_params(args, cfg)
-    from tpu_plume.models.recurrent import RecurrentActorCritic
+    if args.oracle:
+        from tpu_plume.evaluation.oracle import make_oracle
 
-    rnn = model if isinstance(model, RecurrentActorCritic) else None
+        oracle = make_oracle(args.oracle, cfg.env)
+        params, apply_fn, rnn = None, None, None
+    else:
+        model, params = _load_params(args, cfg)
+        from tpu_plume.models.recurrent import RecurrentActorCritic
+
+        rnn = model if isinstance(model, RecurrentActorCritic) else None
+        apply_fn, oracle = model.apply, None
     states, actions = generate_expert_data(
-        params, model.apply, cfg.env, jax.random.PRNGKey(args.seed or 0),
+        params, apply_fn, cfg.env, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes or 100, path=args.out,
-        bank=_make_bank(args, cfg), rnn=rnn,
+        bank=_make_bank(args, cfg), rnn=rnn, oracle=oracle,
     )
     print(json.dumps({"samples": int(states.shape[0]), "path": args.out}))
 
@@ -635,6 +642,11 @@ def build_parser():
 
     sp = sub.add_parser("expert", help="generate expert demonstrations")
     common(sp, "expert_data.npz")
+    sp.add_argument("--oracle", choices=["naive", "look1", "phase"],
+                    help="privileged scripted teacher (true source known) "
+                         "instead of a trained checkpoint; 'phase' "
+                         "demonstrates approach-phase control (the measured "
+                         "42%%->85%% success@40 headroom)")
     sp.set_defaults(fn=cmd_expert)
 
     sp = sub.add_parser(

@@ -12,8 +12,11 @@ from tpu_plume.evaluation.harnesses import (
     make_threshold_gate,
     summarize,
 )
+from tpu_plume.evaluation.oracle import ORACLE_KINDS, make_oracle
 
 __all__ = [
+    "ORACLE_KINDS",
+    "make_oracle",
     "EvalMetrics",
     "evaluate_policy",
     "flux_inversion_study",

@@ -319,9 +319,14 @@ def generate_expert_data(
     path: str | None = None,
     bank=None,
     rnn=None,
+    oracle=None,
 ):
     """Greedy-rollout (state, action) collection — the reference expert-data
-    pipeline (PPOV1.1/generate_expert_data.py:14-61)."""
+    pipeline (PPOV1.1/generate_expert_data.py:14-61).
+
+    ``oracle``: a jittable ``fn(env_state) -> i32 action`` (see
+    ``evaluation.oracle.make_oracle``) used INSTEAD of the policy network —
+    privileged-teacher demonstrations; ``params``/``apply_fn`` may be None."""
     n = num_episodes
     k_reset, k_scan = jax.random.split(key)
     reset_keys = jax.random.split(k_reset, n)
@@ -334,11 +339,14 @@ def generate_expert_data(
         def body(carry, _):
             env_state, obs, finished, key, pol = carry
             key, k_step = jax.random.split(key)
-            if rnn is not None:
+            if oracle is not None:
+                action = jax.vmap(oracle)(env_state)
+            elif rnn is not None:
                 pol, logits, _ = rnn.apply(params, pol, obs)
+                action = jnp.argmax(logits, axis=-1)
             else:
                 logits, _ = apply_fn(params, obs)
-            action = jnp.argmax(logits, axis=-1)
+                action = jnp.argmax(logits, axis=-1)
             step_keys = jax.random.split(k_step, n)
             new_env, trans = jax.vmap(lambda s, a, k: step(s, a, k, env_cfg, bank))(
                 env_state, action, step_keys

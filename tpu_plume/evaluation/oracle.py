@@ -1,0 +1,100 @@
+"""Scripted oracle policies (true source position known), as jittable
+functions of the env state.
+
+These are the privileged teachers behind the success@40 ceiling study
+(scripts/oracle_ceiling.py): a perfect-information *staircase* scores ~42%
+under the radius-50 greedy protocol — exactly where every trained policy
+sits — while adding approach-*phase* control (set up the crossing step so
+it lands deep instead of on a random chord) lifts the ceiling to ~85%.
+Collecting (obs, action) demonstrations from the ``phase`` oracle gives an
+imitation signal for exactly the skill PPO does not discover on its own;
+the learner sees only its own observations, so this is the standard
+privileged-teacher / student distillation setup (the reference's expert
+pipeline, PPOV1.1/generate_expert_data.py:14-61, uses a *trained policy*
+as the expert — same npz contract, stronger teacher).
+
+All three policies are pure jnp functions of ``EnvState`` (position +
+true source), vmappable across the env batch and usable inside the
+jitted expert-collection scan — no host loop.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_plume.core.config import EnvConfig
+
+ORACLE_KINDS = ("naive", "look1", "phase")
+
+
+def make_oracle(
+    kind: str,
+    cfg: EnvConfig,
+    *,
+    terminate_radius: float | None = None,
+    success_radius: float = 40.0,
+    target_depth: float = 31.0,
+):
+    """Build ``fn(env_state) -> i32 action`` for one oracle policy.
+
+    naive  — step along the axis with the larger |component| toward the
+             source (the chemotaxis staircase RL converges to).
+    look1  — one-step lookahead: if some action's deterministic landing is
+             inside the goal ball (<= success_radius), take the landing
+             closest to ``target_depth``; otherwise the staircase move.
+    phase  — look1 + approach-phase control: when every crossing action
+             would land shallow, take the non-crossing action whose NEXT
+             step can land deepest (2-step greedy).
+
+    ``terminate_radius`` defaults to the config's protocol radius
+    (episodes end at the first crossing of this ball).  2-D policies: the
+    z component of a 3-D flight is ignored.
+    """
+    if kind not in ORACLE_KINDS:
+        raise ValueError(f"unknown oracle {kind!r}; pick from {ORACLE_KINDS}")
+    m = float(cfg.move_step)
+    tr = float(cfg.initial_radius if terminate_radius is None else terminate_radius)
+    deltas = jnp.array(
+        [[0.0, 0.0], [0.0, m], [0.0, -m], [m, 0.0], [-m, 0.0]], jnp.float32
+    )
+
+    def act(state) -> jnp.ndarray:
+        pos = state.pos[:2]
+        src = state.field.source[:2]
+        to = src - pos
+        stair = jnp.where(
+            jnp.abs(to[0]) >= jnp.abs(to[1]),
+            jnp.where(to[0] > 0, 3, 4),
+            jnp.where(to[1] > 0, 1, 2),
+        ).astype(jnp.int32)
+        if kind == "naive":
+            return stair
+
+        land = pos[None, :] + deltas                        # [5, 2]
+        ld = jnp.linalg.norm(land - src[None, :], axis=-1)  # [5]
+        crossing = ld <= tr
+        deep = crossing & (ld <= success_radius)
+        a_deep = jnp.argmin(
+            jnp.where(deep, jnp.abs(ld - target_depth), 1e9)
+        ).astype(jnp.int32)
+        any_deep = deep.any()
+        if kind == "look1":
+            return jnp.where(any_deep, a_deep, stair)
+
+        # phase: among non-crossing actions, prefer the one whose next step
+        # can land closest to target_depth (2-step greedy); if no next-step
+        # deep landing exists anywhere, close the distance.
+        ld2 = jnp.linalg.norm(
+            land[:, None, :] + deltas[None, :, :] - src[None, None, :], axis=-1
+        )                                                   # [5, 5]
+        deep2 = (ld2 <= success_radius) & (ld2 >= m)
+        best_next = jnp.min(
+            jnp.where(deep2, jnp.abs(ld2 - target_depth), 1e9), axis=-1
+        )                                                   # [5]
+        dist_after = jnp.linalg.norm(land - src[None, :], axis=-1)
+        score = jnp.where(deep2.any(axis=-1), -best_next, -100.0 - dist_after)
+        score = jnp.where(crossing, -1e18, score)           # never cross shallow
+        a_phase = jnp.argmax(score).astype(jnp.int32)
+        return jnp.where(any_deep, a_deep, a_phase)
+
+    return act

@@ -316,9 +316,8 @@ def train_ppo(
     up to K iterations ahead while the host consumes stats/records with a
     K-iteration lag.  On the tunneled single-chip backend one round trip
     costs ~30 ms against a ~32 ms device step, so per-iteration syncing
-    halves throughput (measured 8.2M -> 15.3M env-steps/s at K=8).  Default:
-    8 when no host drain is active, 1 otherwise (drains transfer the
-    trajectory anyway)."""
+    halves throughput (measured 8.2M -> 15.3M env-steps/s at K=8).  Default
+    8 — record drains ride the same packed per-window transfer."""
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.PRNGKey(cfg.seed)
     k_model, k_roll, k_loop = jax.random.split(key, 3)
