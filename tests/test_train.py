@@ -89,3 +89,43 @@ def test_snapshot_every(tmp_path):
     train_ppo(_tiny_cfg(), out, verbose=False, max_iterations=3,
               write_csv=False, snapshot_every=2)
     assert os.path.isdir(os.path.join(out, "checkpoint_iter000002"))
+
+
+def test_behavior_cloning_fits_oracle(tmp_path):
+    """BC pretrainer: fit the policy to phase-oracle demonstrations, save a
+    bundle loadable as a warm start, beat chance accuracy by a wide margin."""
+    import jax
+
+    from tpu_plume.core import get_preset
+    from tpu_plume.evaluation import generate_expert_data, make_oracle
+    from tpu_plume.train.bc import train_bc
+
+    cfg = get_preset("ppo_v2_0")
+    path = str(tmp_path / "expert.npz")
+    oracle = make_oracle("phase", cfg.env)
+    generate_expert_data(
+        None, None, cfg.env, jax.random.PRNGKey(0), num_episodes=24,
+        path=path, oracle=oracle,
+    )
+    res = train_bc(cfg, str(tmp_path / "bc"), path, epochs=25, verbose=False)
+    assert res.val_accuracy > 0.45  # chance = 0.2 over 5 actions
+    assert res.train_loss < 1.0
+
+    from tpu_plume.data.checkpoint import restore_checkpoint
+
+    bundle = restore_checkpoint(str(tmp_path / "bc" / "checkpoint"))
+    assert "params" in bundle
+
+
+def test_behavior_cloning_rejects_lstm_arch(tmp_path):
+    import dataclasses
+
+    import pytest
+
+    from tpu_plume.core import get_preset
+    from tpu_plume.train.bc import train_bc
+
+    cfg = get_preset("ppo_v2_0")
+    cfg = cfg.replace(ppo=dataclasses.replace(cfg.ppo, arch="lstm"))
+    with pytest.raises(ValueError, match="feedforward"):
+        train_bc(cfg, None, "unused.npz")

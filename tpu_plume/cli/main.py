@@ -188,6 +188,22 @@ def cmd_train(args):
     )
 
 
+def cmd_train_bc(args):
+    from tpu_plume.core import get_preset
+    from tpu_plume.train.bc import train_bc
+
+    cfg = _apply_overrides(get_preset(args.preset), args)
+    res = train_bc(
+        cfg, args.out, args.expert,
+        epochs=args.bc_epochs, batch_size=args.bc_batch, lr=args.bc_lr,
+    )
+    print(json.dumps({
+        "samples": res.samples, "train_loss": round(res.train_loss, 4),
+        "val_loss": round(res.val_loss, 4),
+        "val_accuracy": round(res.val_accuracy, 4), "out": args.out,
+    }))
+
+
 def cmd_train_gail(args):
     from tpu_plume.core import get_preset
     from tpu_plume.train.gail_trainer import train_ppo_gail
@@ -558,6 +574,18 @@ def build_parser():
                          "default 8 (record drains ride the packed "
                          "per-window transfer)")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser(
+        "train-bc",
+        help="behavior-cloning pretrain on expert pairs (warm start for "
+             "train --ckpt)",
+    )
+    common(sp, "runs/bc")
+    sp.add_argument("--expert", required=True)
+    sp.add_argument("--bc-epochs", type=int, default=30)
+    sp.add_argument("--bc-batch", type=int, default=4096)
+    sp.add_argument("--bc-lr", type=float, default=1e-3)
+    sp.set_defaults(fn=cmd_train_bc)
 
     sp = sub.add_parser("train-gail", help="PPO + GAIL discriminator")
     common(sp, "runs/gail")

@@ -1,0 +1,144 @@
+"""Behavior-cloning pretrainer: supervised policy fit on expert
+demonstrations, used to warm-start PPO (``train --ckpt``).
+
+The reference's imitation path is GAIL-only (PPOV1.1/train_ppo_gail.py:34-200,
+discriminator never fed back); plain cross-entropy cloning is the direct
+route when the expert is a privileged scripted teacher
+(``evaluation.oracle.make_oracle``) — distill the part of the teacher's
+policy that is inferable from the student's own observations, then let PPO
+fine-tune the rest.
+
+TPU-native shape: the whole fit is ONE jitted ``lax.scan`` over
+epochs x minibatches with a device-side permutation re-drawn per epoch —
+a ~100k x obs_dim table is tiny, so unlike the PPO update hot path the
+random gather costs nothing here.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_plume.core.config import TrainConfig
+
+
+@dataclass
+class BCResult:
+    params: dict
+    train_loss: float
+    val_accuracy: float
+    val_loss: float
+    samples: int
+
+
+def train_bc(
+    cfg: TrainConfig,
+    out_dir: str | None,
+    expert_path: str,
+    *,
+    epochs: int = 30,
+    batch_size: int = 4096,
+    lr: float = 1e-3,
+    val_frac: float = 0.1,
+    verbose: bool = True,
+) -> BCResult:
+    """Fit the policy head to expert (state, action) pairs by cross-entropy.
+
+    Saves an Orbax bundle ``{"params": ...}`` under ``out_dir/checkpoint``
+    (loadable by ``train --ckpt`` for warm starts and ``eval --ckpt``).
+    The critic head is left at init — PPO re-fits it during fine-tuning.
+    Recurrent archs need sequence replay, not i.i.d. pairs; rejected.
+    """
+    if cfg.ppo.arch == "lstm":
+        raise ValueError("behavior cloning supports feedforward archs only")
+    from tpu_plume.data.expert import load_expert_data
+    from tpu_plume.train.ppo_trainer import make_policy_model
+
+    states, actions = load_expert_data(expert_path)
+    if states.shape[1] != cfg.env.obs_dim:
+        raise ValueError(
+            f"expert obs dim {states.shape[1]} != config obs dim "
+            f"{cfg.env.obs_dim} (match --obs-memory etc. to the collection)"
+        )
+    n = states.shape[0]
+    rng = np.random.default_rng(cfg.seed)
+    order = rng.permutation(n)
+    n_val = max(1, int(n * val_frac))
+    val_idx, train_idx = order[:n_val], order[n_val:]
+    x_tr = jnp.asarray(states[train_idx])
+    y_tr = jnp.asarray(actions[train_idx], jnp.int32)
+    x_va = jnp.asarray(states[val_idx])
+    y_va = jnp.asarray(actions[val_idx], jnp.int32)
+
+    model = make_policy_model(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key, x_tr[:2])
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+
+    n_tr = x_tr.shape[0]
+    batch_size = min(batch_size, n_tr)
+    nb = max(1, n_tr // batch_size)
+    used = nb * batch_size
+
+    def xent(params, xb, yb):
+        logits, _ = model.apply(params, xb)
+        logp = jax.nn.log_softmax(logits)
+        onehot = jax.nn.one_hot(yb, logits.shape[-1], dtype=logp.dtype)
+        return -(onehot * logp).sum(-1).mean()
+
+    def epoch_minibatches(key):
+        perm = jax.random.permutation(key, n_tr)[:used].reshape(nb, batch_size)
+        return x_tr[perm], y_tr[perm]
+
+    def mb_step(carry, batch):
+        params, opt_state = carry
+        xb, yb = batch
+        loss, grads = jax.value_and_grad(xent)(params, xb, yb)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def epoch_step(carry, key):
+        carry, losses = jax.lax.scan(mb_step, carry, epoch_minibatches(key))
+        return carry, losses.mean()
+
+    @jax.jit
+    def fit(params, opt_state, key):
+        keys = jax.random.split(key, epochs)
+        (params, opt_state), losses = jax.lax.scan(
+            epoch_step, (params, opt_state), keys
+        )
+        logits, _ = model.apply(params, x_va)
+        val_loss = xent(params, x_va, y_va)
+        val_acc = (jnp.argmax(logits, -1) == y_va).mean()
+        return params, losses, val_loss, val_acc
+
+    params, losses, val_loss, val_acc = fit(params, opt_state, key)
+    # one host transfer at the end (tunnel RTT discipline)
+    losses, val_loss, val_acc = jax.device_get((losses, val_loss, val_acc))
+    if verbose:
+        print(
+            f"bc: {n_tr} train / {n_val} val pairs, {epochs} epochs — "
+            f"loss {losses[0]:.3f} -> {losses[-1]:.3f}, "
+            f"val acc {float(val_acc):.1%}"
+        )
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        from tpu_plume.data.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(out_dir, "checkpoint"),
+            {"params": jax.device_get(params)},
+        )
+    return BCResult(
+        params=params,
+        train_loss=float(losses[-1]),
+        val_accuracy=float(val_acc),
+        val_loss=float(val_loss),
+        samples=n,
+    )
