@@ -129,3 +129,30 @@ def test_behavior_cloning_rejects_lstm_arch(tmp_path):
     cfg = cfg.replace(ppo=dataclasses.replace(cfg.ppo, arch="lstm"))
     with pytest.raises(ValueError, match="feedforward"):
         train_bc(cfg, None, "unused.npz")
+
+
+def test_dagger_improves_over_rounds(tmp_path):
+    """DAgger against the phase oracle: aggregate dataset grows with
+    student-visited states; the student's closed-loop rollout success
+    must improve from round 1 (first student-driven) to the last round."""
+    import dataclasses
+
+    from tpu_plume.core import get_preset
+    from tpu_plume.train.dagger import train_dagger
+
+    cfg = get_preset("ppo_v2_0")
+    cfg = cfg.replace(
+        env=dataclasses.replace(cfg.env, obs_memory=True, max_steps=120)
+    )
+    res = train_dagger(
+        cfg, str(tmp_path / "dagger"),
+        rounds=4, episodes_per_round=64, epochs_per_round=12, verbose=False,
+    )
+    assert res.samples > 1000
+    # round 0 is oracle-driven (high); rounds 1.. are the student
+    assert res.eval_success[-1] > res.eval_success[1]
+
+    from tpu_plume.data.checkpoint import restore_checkpoint
+
+    bundle = restore_checkpoint(str(tmp_path / "dagger" / "checkpoint"))
+    assert "params" in bundle

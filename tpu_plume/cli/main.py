@@ -204,6 +204,26 @@ def cmd_train_bc(args):
     }))
 
 
+def cmd_train_dagger(args):
+    from tpu_plume.core import get_preset
+    from tpu_plume.train.dagger import train_dagger
+
+    cfg = _apply_overrides(get_preset(args.preset), args)
+    res = train_dagger(
+        cfg, args.out,
+        oracle_kind=args.oracle, rounds=args.rounds,
+        episodes_per_round=args.envs or 512,
+        epochs_per_round=args.bc_epochs, batch_size=args.bc_batch,
+        lr=args.bc_lr,
+    )
+    print(json.dumps({
+        "rounds": res.rounds, "samples": res.samples,
+        "val_accuracy": round(res.val_accuracy, 4),
+        "rollout_success": [round(s, 4) for s in res.eval_success],
+        "out": args.out,
+    }))
+
+
 def cmd_train_gail(args):
     from tpu_plume.core import get_preset
     from tpu_plume.train.gail_trainer import train_ppo_gail
@@ -586,6 +606,20 @@ def build_parser():
     sp.add_argument("--bc-batch", type=int, default=4096)
     sp.add_argument("--bc-lr", type=float, default=1e-3)
     sp.set_defaults(fn=cmd_train_bc)
+
+    sp = sub.add_parser(
+        "train-dagger",
+        help="DAgger against a scripted oracle teacher (closed-loop "
+             "imitation; --envs = episodes/round)",
+    )
+    common(sp, "runs/dagger")
+    sp.add_argument("--oracle", choices=["naive", "look1", "phase"],
+                    default="phase")
+    sp.add_argument("--rounds", type=int, default=8)
+    sp.add_argument("--bc-epochs", type=int, default=20)
+    sp.add_argument("--bc-batch", type=int, default=4096)
+    sp.add_argument("--bc-lr", type=float, default=1e-3)
+    sp.set_defaults(fn=cmd_train_dagger)
 
     sp = sub.add_parser("train-gail", help="PPO + GAIL discriminator")
     common(sp, "runs/gail")

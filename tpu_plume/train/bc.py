@@ -35,6 +35,62 @@ class BCResult:
     samples: int
 
 
+def fit_bc(
+    model,
+    params,
+    x_tr: jnp.ndarray,
+    y_tr: jnp.ndarray,
+    x_va: jnp.ndarray,
+    y_va: jnp.ndarray,
+    key: jax.Array,
+    *,
+    epochs: int = 30,
+    batch_size: int = 4096,
+    lr: float = 1e-3,
+):
+    """Core cross-entropy fit: ONE jitted scan over epochs x minibatches
+    (fresh AdamW).  Returns (params, per-epoch losses, val_loss, val_acc);
+    outputs stay on device — callers transfer once."""
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+    n_tr = x_tr.shape[0]
+    batch_size = min(batch_size, n_tr)
+    nb = max(1, n_tr // batch_size)
+    used = nb * batch_size
+
+    def xent(params, xb, yb):
+        logits, _ = model.apply(params, xb)
+        logp = jax.nn.log_softmax(logits)
+        onehot = jax.nn.one_hot(yb, logits.shape[-1], dtype=logp.dtype)
+        return -(onehot * logp).sum(-1).mean()
+
+    def mb_step(carry, batch):
+        params, opt_state = carry
+        xb, yb = batch
+        loss, grads = jax.value_and_grad(xent)(params, xb, yb)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def epoch_step(carry, key):
+        perm = jax.random.permutation(key, n_tr)[:used].reshape(nb, batch_size)
+        carry, losses = jax.lax.scan(mb_step, carry, (x_tr[perm], y_tr[perm]))
+        return carry, losses.mean()
+
+    @jax.jit
+    def run(params, opt_state, key):
+        keys = jax.random.split(key, epochs)
+        (params, opt_state), losses = jax.lax.scan(
+            epoch_step, (params, opt_state), keys
+        )
+        logits, _ = model.apply(params, x_va)
+        val_loss = xent(params, x_va, y_va)
+        val_acc = (jnp.argmax(logits, -1) == y_va).mean()
+        return params, losses, val_loss, val_acc
+
+    return run(params, opt_state, key)
+
+
 def train_bc(
     cfg: TrainConfig,
     out_dir: str | None,
@@ -77,53 +133,15 @@ def train_bc(
     model = make_policy_model(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key, x_tr[:2])
-    tx = optax.adamw(lr)
-    opt_state = tx.init(params)
-
-    n_tr = x_tr.shape[0]
-    batch_size = min(batch_size, n_tr)
-    nb = max(1, n_tr // batch_size)
-    used = nb * batch_size
-
-    def xent(params, xb, yb):
-        logits, _ = model.apply(params, xb)
-        logp = jax.nn.log_softmax(logits)
-        onehot = jax.nn.one_hot(yb, logits.shape[-1], dtype=logp.dtype)
-        return -(onehot * logp).sum(-1).mean()
-
-    def epoch_minibatches(key):
-        perm = jax.random.permutation(key, n_tr)[:used].reshape(nb, batch_size)
-        return x_tr[perm], y_tr[perm]
-
-    def mb_step(carry, batch):
-        params, opt_state = carry
-        xb, yb = batch
-        loss, grads = jax.value_and_grad(xent)(params, xb, yb)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
-    def epoch_step(carry, key):
-        carry, losses = jax.lax.scan(mb_step, carry, epoch_minibatches(key))
-        return carry, losses.mean()
-
-    @jax.jit
-    def fit(params, opt_state, key):
-        keys = jax.random.split(key, epochs)
-        (params, opt_state), losses = jax.lax.scan(
-            epoch_step, (params, opt_state), keys
-        )
-        logits, _ = model.apply(params, x_va)
-        val_loss = xent(params, x_va, y_va)
-        val_acc = (jnp.argmax(logits, -1) == y_va).mean()
-        return params, losses, val_loss, val_acc
-
-    params, losses, val_loss, val_acc = fit(params, opt_state, key)
+    params, losses, val_loss, val_acc = fit_bc(
+        model, params, x_tr, y_tr, x_va, y_va, key,
+        epochs=epochs, batch_size=batch_size, lr=lr,
+    )
     # one host transfer at the end (tunnel RTT discipline)
     losses, val_loss, val_acc = jax.device_get((losses, val_loss, val_acc))
     if verbose:
         print(
-            f"bc: {n_tr} train / {n_val} val pairs, {epochs} epochs — "
+            f"bc: {x_tr.shape[0]} train / {n_val} val pairs, {epochs} epochs — "
             f"loss {losses[0]:.3f} -> {losses[-1]:.3f}, "
             f"val acc {float(val_acc):.1%}"
         )

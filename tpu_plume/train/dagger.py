@@ -1,0 +1,184 @@
+"""DAgger (Ross et al. 2011) against the scripted phase oracle.
+
+Pure behavior cloning of the phase oracle fails closed-loop (87.7%%
+per-step validation accuracy, 5.3%% protocol success — measured round 3):
+compounding action errors drift the student off the teacher's state
+distribution, where the clone has no recovery data.  DAgger fixes exactly
+this: each round rolls out the CURRENT student, labels every visited state
+with the oracle's action, aggregates, and refits — so the dataset covers
+the student's own mistakes.
+
+TPU-native shape: the oracle (``evaluation.oracle.make_oracle``) is a pure
+jnp function of the env state, so collection is one jitted vmapped
+``lax.scan`` per round — rollout, oracle labeling, and the student/teacher
+mixture all on device; one host transfer per round.  The refit reuses
+``bc.fit_bc`` (one jitted epochs x minibatches scan).
+
+No reference counterpart (its imitation path is GAIL-only,
+PPOV1.1/train_ppo_gail.py) — this is the privileged-teacher distillation
+route to approach-phase control, the measured 42%%->85%% success@40
+headroom (scripts/oracle_ceiling.py).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_plume.core.config import TrainConfig
+
+
+@dataclass
+class DaggerResult:
+    params: dict
+    rounds: int
+    samples: int
+    val_accuracy: float
+    eval_success: list = field(default_factory=list)  # per-round probe s@40
+
+
+def _collect(model, oracle, env_cfg, n, beta):
+    """Jittable round collection: roll out the beta-mixture policy
+    (oracle w.p. beta, else greedy student), record (obs, oracle action)
+    at every active step plus each episode's protocol outcome."""
+    from tpu_plume.env.methane import reset, step
+
+    def run(params, reset_keys, k_scan):
+        env_state, obs = jax.vmap(lambda k: reset(k, env_cfg))(reset_keys)
+        finished = jnp.zeros(n, bool)
+        succ = jnp.zeros(n, bool)
+
+        def body(carry, _):
+            env_state, obs, finished, succ, key = carry
+            key, k_step, k_mix = jax.random.split(key, 3)
+            a_star = jax.vmap(oracle)(env_state)
+            logits, _ = model.apply(params, obs)
+            a_student = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            use_star = jax.random.bernoulli(k_mix, beta, (n,))
+            action = jnp.where(use_star, a_star, a_student)
+            step_keys = jax.random.split(k_step, n)
+            new_env, trans = jax.vmap(
+                lambda s, a, k: step(s, a, k, env_cfg)
+            )(env_state, action, step_keys)
+            active = ~finished
+            out = (obs, a_star, active)
+            env_state = jax.tree.map(
+                lambda a, b: jnp.where(
+                    active.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                new_env,
+                env_state,
+            )
+            obs = jnp.where(active[:, None], trans.obs, obs)
+            succ = succ | (
+                active & trans.done & trans.info.reached
+                & (trans.info.distance <= 40.0)
+            )
+            finished = finished | trans.done
+            return (env_state, obs, finished, succ, key), out
+
+        (_, _, finished, succ, _), (states, labels, valid) = jax.lax.scan(
+            body, (env_state, obs, finished, succ, jnp.asarray(k_scan)),
+            None, length=env_cfg.max_steps,
+        )
+        return states, labels, valid, succ, finished
+
+    return jax.jit(run)
+
+
+def train_dagger(
+    cfg: TrainConfig,
+    out_dir: str | None,
+    *,
+    oracle_kind: str = "phase",
+    rounds: int = 8,
+    episodes_per_round: int = 512,
+    epochs_per_round: int = 20,
+    batch_size: int = 4096,
+    lr: float = 1e-3,
+    max_round_samples: int = 65536,
+    val_frac: float = 0.05,
+    verbose: bool = True,
+) -> DaggerResult:
+    """Round 0 collects with the oracle driving (beta=1, = BC); later
+    rounds collect with the student driving (beta=0) and the oracle only
+    labeling.  Each round refits on the aggregate (warm-started params,
+    fresh optimizer), and the collection's own mixture rollout doubles as
+    a closed-loop success probe.  Saves ``{"params": ...}`` like
+    ``train_bc`` (usable by ``train --ckpt`` / ``eval --ckpt``)."""
+    if cfg.ppo.arch == "lstm":
+        raise ValueError("DAgger supports feedforward archs only")
+    from tpu_plume.evaluation.oracle import make_oracle
+    from tpu_plume.train.bc import fit_bc
+    from tpu_plume.train.ppo_trainer import make_policy_model
+
+    env_cfg = cfg.env
+    model = make_policy_model(cfg)
+    oracle = make_oracle(oracle_kind, env_cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init = jax.random.split(key)
+    params = model.init(k_init, jnp.zeros((2, env_cfg.obs_dim), jnp.float32))
+
+    n = episodes_per_round
+    collectors = {
+        beta: _collect(model, oracle, env_cfg, n, beta) for beta in (1.0, 0.0)
+    }
+    xs, ys = [], []
+    eval_success = []
+    rng = np.random.default_rng(cfg.seed)
+    for r in range(rounds):
+        beta = 1.0 if r == 0 else 0.0
+        key, k_reset, k_scan = jax.random.split(key, 3)
+        reset_keys = jax.random.split(k_reset, n)
+        states, labels, valid, succ, finished = jax.device_get(
+            collectors[beta](params, reset_keys, k_scan)
+        )
+        mask = valid.reshape(-1)
+        x = states.reshape(-1, env_cfg.obs_dim)[mask]
+        y = labels.reshape(-1)[mask]
+        if x.shape[0] > max_round_samples:
+            sel = rng.choice(x.shape[0], max_round_samples, replace=False)
+            x, y = x[sel], y[sel]
+        xs.append(x)
+        ys.append(y)
+        x_all = np.concatenate(xs)
+        y_all = np.concatenate(ys)
+        order = rng.permutation(x_all.shape[0])
+        n_val = max(1, int(x_all.shape[0] * val_frac))
+        va, tr = order[:n_val], order[n_val:]
+        key, k_fit = jax.random.split(key)
+        params, losses, val_loss, val_acc = fit_bc(
+            model, params,
+            jnp.asarray(x_all[tr]), jnp.asarray(y_all[tr], jnp.int32),
+            jnp.asarray(x_all[va]), jnp.asarray(y_all[va], jnp.int32),
+            k_fit, epochs=epochs_per_round, batch_size=batch_size, lr=lr,
+        )
+        losses, val_loss, val_acc = jax.device_get((losses, val_loss, val_acc))
+        s_rate = float(succ.mean())
+        eval_success.append(s_rate)
+        if verbose:
+            who = "oracle-driven" if beta == 1.0 else "student-driven"
+            print(
+                f"dagger round {r} ({who}): +{x.shape[0]} -> "
+                f"{x_all.shape[0]} pairs, fit {losses[-1]:.3f}, "
+                f"val acc {float(val_acc):.1%}, rollout s@40 {s_rate:.1%} "
+                f"(find {float(finished.mean()):.1%})"
+            )
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        from tpu_plume.data.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(out_dir, "checkpoint"),
+            {"params": jax.device_get(params)},
+        )
+    return DaggerResult(
+        params=params,
+        rounds=rounds,
+        samples=int(sum(a.shape[0] for a in xs)),
+        val_accuracy=float(val_acc),
+        eval_success=eval_success,
+    )
