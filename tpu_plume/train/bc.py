@@ -35,28 +35,15 @@ class BCResult:
     samples: int
 
 
-def fit_bc(
-    model,
-    params,
-    x_tr: jnp.ndarray,
-    y_tr: jnp.ndarray,
-    x_va: jnp.ndarray,
-    y_va: jnp.ndarray,
-    key: jax.Array,
-    *,
-    epochs: int = 30,
-    batch_size: int = 4096,
-    lr: float = 1e-3,
-):
-    """Core cross-entropy fit: ONE jitted scan over epochs x minibatches
-    (fresh AdamW).  Returns (params, per-epoch losses, val_loss, val_acc);
-    outputs stay on device — callers transfer once."""
+def make_bc_fitter(model, *, epochs: int = 30, batch_size: int = 4096,
+                   lr: float = 1e-3):
+    """Build a reusable jitted fit: ONE scan over epochs x minibatches
+    (fresh AdamW each call).  Returned
+    ``fit(params, x_tr, y_tr, x_va, y_va, key)`` gives (params, per-epoch
+    losses, val_loss, val_acc); outputs stay on device — callers transfer
+    once.  Build ONCE and reuse across calls (e.g. DAgger rounds): the jit
+    cache is per-closure, so a fresh fitter per call recompiles every time."""
     tx = optax.adamw(lr)
-    opt_state = tx.init(params)
-    n_tr = x_tr.shape[0]
-    batch_size = min(batch_size, n_tr)
-    nb = max(1, n_tr // batch_size)
-    used = nb * batch_size
 
     def xent(params, xb, yb):
         logits, _ = model.apply(params, xb)
@@ -72,23 +59,48 @@ def fit_bc(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    def epoch_step(carry, key):
-        perm = jax.random.permutation(key, n_tr)[:used].reshape(nb, batch_size)
-        carry, losses = jax.lax.scan(mb_step, carry, (x_tr[perm], y_tr[perm]))
-        return carry, losses.mean()
-
     @jax.jit
-    def run(params, opt_state, key):
+    def fit(params, x_tr, y_tr, x_va, y_va, key):
+        n_tr = x_tr.shape[0]
+        bs = min(batch_size, n_tr)
+        nb = max(1, n_tr // bs)
+        used = nb * bs
+
+        def epoch_step(carry, key):
+            perm = jax.random.permutation(key, n_tr)[:used].reshape(nb, bs)
+            carry, losses = jax.lax.scan(
+                mb_step, carry, (x_tr[perm], y_tr[perm])
+            )
+            return carry, losses.mean()
+
         keys = jax.random.split(key, epochs)
-        (params, opt_state), losses = jax.lax.scan(
-            epoch_step, (params, opt_state), keys
+        (params, _), losses = jax.lax.scan(
+            epoch_step, (params, tx.init(params)), keys
         )
         logits, _ = model.apply(params, x_va)
         val_loss = xent(params, x_va, y_va)
         val_acc = (jnp.argmax(logits, -1) == y_va).mean()
         return params, losses, val_loss, val_acc
 
-    return run(params, opt_state, key)
+    return fit
+
+
+def fit_bc(
+    model,
+    params,
+    x_tr: jnp.ndarray,
+    y_tr: jnp.ndarray,
+    x_va: jnp.ndarray,
+    y_va: jnp.ndarray,
+    key: jax.Array,
+    *,
+    epochs: int = 30,
+    batch_size: int = 4096,
+    lr: float = 1e-3,
+):
+    """One-shot convenience wrapper around ``make_bc_fitter``."""
+    fit = make_bc_fitter(model, epochs=epochs, batch_size=batch_size, lr=lr)
+    return fit(params, x_tr, y_tr, x_va, y_va, key)
 
 
 def train_bc(

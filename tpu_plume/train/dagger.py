@@ -112,7 +112,7 @@ def train_dagger(
     if cfg.ppo.arch == "lstm":
         raise ValueError("DAgger supports feedforward archs only")
     from tpu_plume.evaluation.oracle import make_oracle
-    from tpu_plume.train.bc import fit_bc
+    from tpu_plume.train.bc import make_bc_fitter
     from tpu_plume.train.ppo_trainer import make_policy_model
 
     env_cfg = cfg.env
@@ -126,6 +126,9 @@ def train_dagger(
     collectors = {
         beta: _collect(model, oracle, env_cfg, n, beta) for beta in (1.0, 0.0)
     }
+    fit = make_bc_fitter(
+        model, epochs=epochs_per_round, batch_size=batch_size, lr=lr
+    )
     xs, ys = [], []
     eval_success = []
     rng = np.random.default_rng(cfg.seed)
@@ -147,14 +150,24 @@ def train_dagger(
         x_all = np.concatenate(xs)
         y_all = np.concatenate(ys)
         order = rng.permutation(x_all.shape[0])
-        n_val = max(1, int(x_all.shape[0] * val_frac))
+        n_val = max(1, min(4096, int(x_all.shape[0] * val_frac)))
         va, tr = order[:n_val], order[n_val:]
+        # Pad the fit set to a power-of-two capacity by cyclic repetition:
+        # the jitted fit program's shape then only changes when the
+        # aggregate doubles (~log2(rounds) recompiles instead of one per
+        # round — tunnel compiles cost minutes).  Duplicates are uniform,
+        # so minibatch SGD semantics are unchanged.
+        cap = 1 << max(12, int(np.ceil(np.log2(tr.size))))
+        x_fit = np.resize(x_all[tr], (cap, x_all.shape[1]))
+        y_fit = np.resize(y_all[tr], (cap,))
+        x_val = np.resize(x_all[va], (4096, x_all.shape[1]))
+        y_val = np.resize(y_all[va], (4096,))
         key, k_fit = jax.random.split(key)
-        params, losses, val_loss, val_acc = fit_bc(
-            model, params,
-            jnp.asarray(x_all[tr]), jnp.asarray(y_all[tr], jnp.int32),
-            jnp.asarray(x_all[va]), jnp.asarray(y_all[va], jnp.int32),
-            k_fit, epochs=epochs_per_round, batch_size=batch_size, lr=lr,
+        params, losses, val_loss, val_acc = fit(
+            params,
+            jnp.asarray(x_fit), jnp.asarray(y_fit, jnp.int32),
+            jnp.asarray(x_val), jnp.asarray(y_val, jnp.int32),
+            k_fit,
         )
         losses, val_loss, val_acc = jax.device_get((losses, val_loss, val_acc))
         s_rate = float(succ.mean())
