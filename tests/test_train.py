@@ -161,3 +161,30 @@ def test_dagger_mechanics(tmp_path):
 
     bundle = restore_checkpoint(str(tmp_path / "dagger" / "checkpoint"))
     assert "params" in bundle
+
+
+def test_sequence_dagger_lstm_student(tmp_path):
+    """Sequence DAgger: the recurrent student trains by full-episode BPTT
+    on oracle labels; round 0 must track the oracle and the saved bundle
+    must load into the recurrent model."""
+    import dataclasses
+
+    from tpu_plume.core import get_preset
+    from tpu_plume.train.dagger import train_dagger
+
+    cfg = get_preset("ppo_v2_0")
+    cfg = cfg.replace(
+        env=dataclasses.replace(cfg.env, obs_memory=True, max_steps=100),
+        ppo=dataclasses.replace(cfg.ppo, arch="lstm", lstm_layer_norm=True),
+    )
+    res = train_dagger(
+        cfg, str(tmp_path / "sdagger"),
+        rounds=2, episodes_per_round=32, epochs_per_round=6, verbose=False,
+    )
+    assert res.eval_success[0] >= 0.6  # oracle-driven round
+    assert res.samples > 500
+
+    from tpu_plume.data.checkpoint import restore_checkpoint
+
+    bundle = restore_checkpoint(str(tmp_path / "sdagger" / "checkpoint"))
+    assert "params" in bundle

@@ -85,6 +85,69 @@ def make_bc_fitter(model, *, epochs: int = 30, batch_size: int = 4096,
     return fit
 
 
+def make_seq_bc_fitter(model, *, epochs: int = 30, batch_episodes: int = 64,
+                       lr: float = 1e-3):
+    """Sequence (BPTT) cross-entropy fitter for the recurrent policy.
+
+    Data is time-major: obs [T, N, D], labels [T, N], mask [T, N] (True on
+    active steps).  Each minibatch is a column slice of ``batch_episodes``
+    complete episodes replayed from a zero carry (episodes start at reset,
+    so no mid-sequence resets).  Same reuse contract as ``make_bc_fitter``:
+    build once, call across DAgger rounds."""
+    tx = optax.adamw(lr)
+
+    def seq_xent(params, obs, labels, mask):
+        b = obs.shape[1]
+        h0 = (jnp.zeros((b, model.lstm_hidden)), jnp.zeros((b, model.lstm_hidden)))
+        resets = jnp.zeros(obs.shape[:2], bool)
+        _, logits, _ = model.apply(params, h0, obs, resets, method="sequence")
+        logp = jax.nn.log_softmax(logits)
+        onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+        ce = -(onehot * logp).sum(-1)
+        denom = jnp.maximum(mask.sum(), 1.0)
+        acc = ((jnp.argmax(logits, -1) == labels) & mask).sum() / denom
+        return (ce * jnp.asarray(mask, ce.dtype)).sum() / denom, acc
+
+    def mb_step(carry, batch):
+        params, opt_state = carry
+        obs, labels, mask = batch
+        (loss, _), grads = jax.value_and_grad(seq_xent, has_aux=True)(
+            params, obs, labels, mask
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def fit(params, obs, labels, mask, v_obs, v_labels, v_mask, key):
+        n = obs.shape[1]
+        be = min(batch_episodes, n)
+        nb = max(1, n // be)
+        used = nb * be
+
+        def epoch_step(carry, key):
+            perm = jax.random.permutation(key, n)[:used].reshape(nb, be)
+            batches = (
+                jnp.moveaxis(obs[:, perm.reshape(-1)].reshape(
+                    obs.shape[0], nb, be, obs.shape[-1]), 1, 0),
+                jnp.moveaxis(labels[:, perm.reshape(-1)].reshape(
+                    labels.shape[0], nb, be), 1, 0),
+                jnp.moveaxis(mask[:, perm.reshape(-1)].reshape(
+                    mask.shape[0], nb, be), 1, 0),
+            )
+            carry, losses = jax.lax.scan(mb_step, carry, batches)
+            return carry, losses.mean()
+
+        keys = jax.random.split(key, epochs)
+        (params, _), losses = jax.lax.scan(
+            epoch_step, (params, tx.init(params)), keys
+        )
+        val_loss, val_acc = seq_xent(params, v_obs, v_labels, v_mask)
+        return params, losses, val_loss, val_acc
+
+    return fit
+
+
 def fit_bc(
     model,
     params,
