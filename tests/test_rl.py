@@ -239,3 +239,74 @@ def test_curriculum_simple_large_batch():
     np.testing.assert_allclose(float(st2.radius), 50.0 * 0.9**3, rtol=1e-6)
     assert int(st2.episode_count) == 50
     assert int(st2.num_updates) == 3
+
+
+def test_distilled_ppo_mechanism():
+    """Distilled PPO wiring: the rollout labels states with the teacher,
+    the update carries loss/distill, gradient descent on the composed loss
+    REDUCES the imitation cross-entropy over iterations, and the control
+    (distill off) carries no such stat.  (Emergent success@40 behavior is
+    a TPU-scale study, not a unit assertion.)"""
+    import jax
+
+    from tpu_plume.core.config import (
+        CurriculumConfig,
+        EnvConfig,
+        PPOConfig,
+        RolloutConfig,
+        TrainConfig,
+    )
+    from tpu_plume.rl.curriculum import curriculum_init
+    from tpu_plume.rollout.rollout import init_rollout
+    from tpu_plume.train.ppo_trainer import (
+        LoopCarry,
+        build_train_step,
+        make_train_state,
+    )
+
+    def cfg_for(distill, gate=0.0):
+        return TrainConfig(
+            name="ppo_v2_0",
+            env=EnvConfig(max_steps=50, plume_sigma=500 / 16, obs_memory=True),
+            ppo=PPOConfig(minibatch_size=256, epochs=2, learning_rate=3e-4,
+                          distill_oracle=distill, distill_coef=2.0,
+                          distill_conc_gate=gate),
+            curriculum=CurriculumConfig(window_size=64),
+            rollout=RolloutConfig(num_envs=32, unroll_length=32),
+            total_episodes=10**6, seed=0,
+        )
+
+    def run(distill, iters=12, gate=0.0):
+        cfg = cfg_for(distill, gate)
+        ts = make_train_state(cfg, jax.random.PRNGKey(0))
+        cur = curriculum_init(cfg.curriculum, cfg.env.explore_bonus_init)
+        ro = init_rollout(jax.random.PRNGKey(1), cfg.env,
+                          cfg.rollout.num_envs, radius=50.0,
+                          explore_bonus=cfg.env.explore_bonus_init)
+        loop = LoopCarry(train_state=ts, rollout=ro, curriculum=cur,
+                         key=jax.random.PRNGKey(2))
+        step = build_train_step(cfg)
+        hist = []
+        for _ in range(iters):
+            loop, stats, _ = step(loop)
+            hist.append(stats)
+        return hist
+
+    import numpy as np
+
+    hist = run("phase")
+    d = np.array([float(h["loss/distill"]) for h in hist])
+    assert np.isfinite(d).all() and (d > 0).all() and (d < 3).all()
+    # the term must do SOME work (most rollout states are far-field where
+    # the teacher direction is obs-uninferable, so the floor is ~ln(4) —
+    # only a small drop from ln(5) is achievable globally)
+    assert d[-3:].mean() < d[0], d
+
+    ctrl = run(None, iters=1)
+    assert "loss/distill" not in ctrl[0]
+
+    # conc-gated variant averages over the near-plume subset only — a
+    # different (finite) value than the global mean at the same seed
+    gated = run("phase", iters=1, gate=0.05)
+    g0 = float(gated[0]["loss/distill"])
+    assert np.isfinite(g0) and abs(g0 - d[0]) > 1e-4

@@ -105,6 +105,12 @@ def _apply_overrides(cfg, args):
         ppo = dataclasses.replace(ppo, shuffle_mode=args.shuffle_mode)
     if getattr(args, "ln_lstm", False):
         ppo = dataclasses.replace(ppo, lstm_layer_norm=True)
+    if getattr(args, "distill", None):
+        ppo = dataclasses.replace(ppo, distill_oracle=args.distill)
+    if getattr(args, "distill_coef", None) is not None:
+        ppo = dataclasses.replace(ppo, distill_coef=args.distill_coef)
+    if getattr(args, "distill_gate", None) is not None:
+        ppo = dataclasses.replace(ppo, distill_conc_gate=args.distill_gate)
     cfg = cfg.replace(rollout=rollout, ppo=ppo)
     if args.episodes:
         cfg = cfg.replace(total_episodes=args.episodes)
@@ -563,6 +569,17 @@ def build_parser():
                         help="append [dconc, prev-action one-hot] to the obs "
                              "(run-and-tumble chemotaxis; off = reference "
                              "parity)")
+        sp.add_argument("--distill", choices=["naive", "look1", "phase"],
+                        help="distilled PPO: a scripted privileged teacher "
+                             "labels every rollout state on device and the "
+                             "update adds an imitation cross-entropy "
+                             "(on-policy DAgger composed with the RL loss)")
+        sp.add_argument("--distill-coef", type=float,
+                        help="imitation-term weight (default 0.1)")
+        sp.add_argument("--distill-gate", type=float,
+                        help="imitate only where conc_norm exceeds this "
+                             "(far-field teacher moves are privileged-"
+                             "direction noise; default 0 = everywhere)")
         sp.add_argument("--min-radius", type=float,
                         help="curriculum radius floor (set 50 to train at the "
                              "fixed reference-protocol radius)")

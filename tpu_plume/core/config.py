@@ -250,6 +250,19 @@ class PPOConfig:
     # Memory lets the policy sense the concentration gradient across steps
     # (chemotaxis), which the memoryless 6-dim obs cannot express.
     arch: str = "mlp"
+    # Distilled PPO: a scripted privileged teacher (evaluation/oracle.py —
+    # "naive" / "look1" / "phase") labels every rollout state ON DEVICE and
+    # the update adds distill_coef * cross-entropy(policy, teacher) to the
+    # loss — on-policy DAgger composed with the RL objective (no
+    # distribution shift, reward covers what the teacher's privileged
+    # direction knowledge makes obs-uninferable).  None = off (no extra
+    # rollout compute).
+    distill_oracle: str | None = None
+    distill_coef: float = 0.1
+    # Imitate only where normalized conc exceeds this gate (0 = imitate
+    # everywhere): far-field teacher actions ride privileged direction
+    # knowledge the obs cannot carry.
+    distill_conc_gate: float = 0.0
     lstm_hidden: int = 128
     lstm_embed: int = 128
     # LayerNorm-LSTM cell for the recurrent policy (Ba et al. 2016):

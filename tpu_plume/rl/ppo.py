@@ -37,6 +37,9 @@ class PPOBatch:
     advantages: jnp.ndarray     # f32[B] (normalized)
     returns: jnp.ndarray        # f32[B]
     old_values: jnp.ndarray     # f32[B]
+    # Optional privileged-teacher labels for distilled PPO (i32[B]; None
+    # disables the auxiliary imitation term — pytree-stable empty subtree).
+    oracle_actions: Any = None
 
 
 def normalize_advantages(advantages: jnp.ndarray, cfg: PPOConfig) -> jnp.ndarray:
@@ -46,6 +49,32 @@ def normalize_advantages(advantages: jnp.ndarray, cfg: PPOConfig) -> jnp.ndarray
     std = centered.std()
     std = jnp.where((std < 1e-6) | jnp.isnan(std), 1.0, std)
     return centered / (std + cfg.adv_norm_eps)
+
+
+def _maybe_distill(total, metrics, oracle_actions, log_probs_all, obs, cfg):
+    """Distilled PPO: on-policy DAgger term — the privileged teacher labeled
+    every rollout state on device, so this cross-entropy is imitation
+    WITHOUT distribution shift, composed with the RL loss.  No-op when the
+    batch carries no labels.
+
+    ``distill_conc_gate`` > 0 weights the imitation to states whose
+    normalized concentration (obs[..., 2]) exceeds the gate: in the far
+    field the teacher acts on privileged direction knowledge the obs
+    cannot carry, and imitating there only pushes base-rate mimicry."""
+    if oracle_actions is None:
+        return total, metrics
+    star_oh = jax.nn.one_hot(
+        oracle_actions, log_probs_all.shape[-1], dtype=log_probs_all.dtype
+    )
+    ce = -jnp.sum(log_probs_all * star_oh, axis=-1)
+    if cfg.distill_conc_gate > 0.0:
+        w = (obs[..., 2] > cfg.distill_conc_gate).astype(ce.dtype)
+        distill = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
+    else:
+        distill = ce.mean()
+    total = total + cfg.distill_coef * distill
+    metrics = {**metrics, "loss/total": total, "loss/distill": distill}
+    return total, metrics
 
 
 def ppo_loss(params, apply_fn, batch: PPOBatch, cfg: PPOConfig):
@@ -88,6 +117,9 @@ def ppo_loss(params, apply_fn, batch: PPOBatch, cfg: PPOConfig):
             (jnp.abs(ratio - 1.0) > cfg.clip_epsilon).astype(jnp.float32)
         ),
     }
+    total, metrics = _maybe_distill(
+        total, metrics, batch.oracle_actions, log_probs_all, batch.obs, cfg
+    )
     return total, metrics
 
 
@@ -110,6 +142,8 @@ class RecurrentPPOBatch:
     old_values: jnp.ndarray     # f32[T, N]
     resets: jnp.ndarray         # bool[T, N] — zero hidden before step t
     h_init: Any                 # (c, h) each f32[N, H] at chunk start
+    # Optional privileged-teacher labels (i32[T, N]; see PPOBatch).
+    oracle_actions: Any = None
 
 
 def ppo_loss_recurrent(params, apply_fn, batch: RecurrentPPOBatch, cfg: PPOConfig):
@@ -151,6 +185,9 @@ def ppo_loss_recurrent(params, apply_fn, batch: RecurrentPPOBatch, cfg: PPOConfi
             (jnp.abs(ratio - 1.0) > cfg.clip_epsilon).astype(jnp.float32)
         ),
     }
+    total, metrics = _maybe_distill(
+        total, metrics, batch.oracle_actions, log_probs_all, batch.obs, cfg
+    )
     return total, metrics
 
 
@@ -184,7 +221,7 @@ def ppo_update_recurrent(
     _TIME_MAJOR_FIELDS = (
         "obs", "actions", "old_log_probs", "advantages",
         "returns", "old_values", "resets",
-    )
+    ) + (("oracle_actions",) if batch.oracle_actions is not None else ())
 
     def epoch_step(ts: TrainState, epoch_key: jax.Array):
         perm = jax.random.permutation(epoch_key, N)

@@ -84,6 +84,9 @@ class RolloutStep:
     pos: jnp.ndarray           # f32[N, 2] post-step position (NetCDF x/y)
     conc: jnp.ndarray          # f32[N] raw conc at new cell (NetCDF)
     episode: EpisodeRecord     # valid where done
+    # Privileged-teacher label for the pre-step state (distilled PPO);
+    # None unless the rollout was built with an oracle.
+    oracle_action: Any = None
 
 
 @struct.dataclass
@@ -127,6 +130,7 @@ def rollout_chunk(
     greedy: bool = False,
     bank=None,
     rnn=None,
+    oracle=None,
 ):
     """Run ``length`` fused policy+env steps for all envs.
 
@@ -141,6 +145,11 @@ def rollout_chunk(
     ``carry.hidden`` (the pre-chunk value) as the BPTT replay root; replay
     resets are ``done`` shifted by one step (rl/ppo.py
     ``ppo_update_recurrent``).
+
+    ``oracle`` (a jittable ``fn(env_state) -> i32 action``, see
+    ``evaluation.oracle.make_oracle``) labels every pre-step state into
+    ``traj.oracle_action`` for distilled PPO — a handful of fused VPU ops
+    per step, nothing when None.
     """
     num_envs = carry.obs.shape[0]
 
@@ -227,6 +236,9 @@ def rollout_chunk(
             pos=env_state.pos,
             conc=info.conc_raw,
             episode=record,
+            oracle_action=(
+                jax.vmap(oracle)(c.env_state) if oracle is not None else None
+            ),
         )
 
         # Clear accumulators for envs that finished, then auto-reset them.

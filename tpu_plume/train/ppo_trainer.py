@@ -123,6 +123,12 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
     env_cfg, ppo_cfg, cur_cfg = cfg.env, cfg.ppo, cfg.curriculum
     T = cfg.rollout.unroll_length
     rnn = make_policy_model(cfg) if ppo_cfg.arch == "lstm" else None
+    if ppo_cfg.distill_oracle:
+        from tpu_plume.evaluation.oracle import make_oracle
+
+        oracle = make_oracle(ppo_cfg.distill_oracle, env_cfg)
+    else:
+        oracle = None
 
     def train_step(loop: LoopCarry, bank):
         key, k_update = jax.random.split(loop.key)
@@ -139,7 +145,7 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
 
         carry, traj, bootstrap = rollout_chunk(
             loop.train_state.params, loop.train_state.apply_fn, carry, env_cfg, T,
-            bank=bank, rnn=rnn,
+            bank=bank, rnn=rnn, oracle=oracle,
         )
 
         advantages, returns = compute_gae(
@@ -165,6 +171,7 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
                 old_values=traj.value,
                 resets=resets,
                 h_init=h_init,
+                oracle_actions=traj.oracle_action,
             )
             train_state, loss_metrics = ppo_update_recurrent(
                 loop.train_state, rbatch, k_update, ppo_cfg
@@ -184,6 +191,9 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
                 advantages=adv_n,
                 returns=ret,
                 old_values=flat(traj.value),
+                oracle_actions=(
+                    flat(traj.oracle_action) if oracle is not None else None
+                ),
             )
             train_state, loss_metrics = ppo_update(loop.train_state, batch, k_update, ppo_cfg)
 
