@@ -182,7 +182,7 @@ def train_dagger(
             va, tr = order[:n_val], order[n_val:]
             # pow2 episode capacity by cyclic repetition (same program-
             # shape discipline as the flat path below).
-            cap = 1 << max(9, int(np.ceil(np.log2(tr.size))))
+            cap = 1 << max(7, int(np.ceil(np.log2(tr.size))))
             rep = np.resize(tr, (cap,))
             vrep = np.resize(va, (256,))
             key, k_fit = jax.random.split(key)
@@ -238,16 +238,19 @@ def train_dagger(
                 f"dagger round {r} ({who}): +{added} -> "
                 f"{total} pairs, fit {losses[-1]:.3f}, "
                 f"val acc {float(val_acc):.1%}, rollout s@40 {s_rate:.1%} "
-                f"(find {float(finished.mean()):.1%})"
+                f"(find {float(finished.mean()):.1%})",
+                flush=True,
             )
-    if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        from tpu_plume.data.checkpoint import save_checkpoint
+        if out_dir:
+            # Checkpoint every round (overwrite): a truncated run keeps its
+            # latest fit.
+            os.makedirs(out_dir, exist_ok=True)
+            from tpu_plume.data.checkpoint import save_checkpoint
 
-        save_checkpoint(
-            os.path.join(out_dir, "checkpoint"),
-            {"params": jax.device_get(params)},
-        )
+            save_checkpoint(
+                os.path.join(out_dir, "checkpoint"),
+                {"params": jax.device_get(params)},
+            )
     return DaggerResult(
         params=params,
         rounds=rounds,
