@@ -92,3 +92,40 @@ def test_threshold_predictor_dropout_modes():
     s1 = model.apply(params, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
     s2 = model.apply(params, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_seq_bc_fitter_learns_memory_task():
+    """make_seq_bc_fitter must solve a task REQUIRING memory: label[t] is
+    the input class from 2 steps earlier (delayed echo) — impossible for a
+    memoryless map, ~100% for correct BPTT."""
+    import numpy as np
+
+    from tpu_plume.models.recurrent import RecurrentActorCritic
+    from tpu_plume.train.bc import make_seq_bc_fitter
+
+    T, N, D = 40, 256, 6
+    rng = np.random.default_rng(0)
+    cls = rng.integers(0, 5, (T, N))
+    obs = np.zeros((T, N, D), np.float32)
+    for c in range(5):
+        obs[..., :5][cls == c, c] = 1.0
+    labels = np.roll(cls, 2, axis=0)
+    labels[:2] = 0
+    mask = np.ones((T, N), bool)
+    mask[:2] = False
+
+    model = RecurrentActorCritic(
+        num_actions=5, embed_size=32, lstm_hidden=32, layer_norm_cell=True
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), model.initial_state(2), jnp.zeros((2, D))
+    )
+    fit = make_seq_bc_fitter(model, epochs=30, batch_episodes=64, lr=3e-3)
+    params, losses, _, va = fit(
+        params,
+        jnp.asarray(obs), jnp.asarray(labels, jnp.int32), jnp.asarray(mask),
+        jnp.asarray(obs[:, :32]), jnp.asarray(labels[:, :32], jnp.int32),
+        jnp.asarray(mask[:, :32]),
+        jax.random.PRNGKey(1),
+    )
+    assert float(va) > 0.9
