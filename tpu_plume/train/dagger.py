@@ -12,7 +12,8 @@ TPU-native shape: the oracle (``evaluation.oracle.make_oracle``) is a pure
 jnp function of the env state, so collection is one jitted vmapped
 ``lax.scan`` per round — rollout, oracle labeling, and the student/teacher
 mixture all on device; one host transfer per round.  The refit reuses
-``bc.fit_bc`` (one jitted epochs x minibatches scan).
+``bc.make_bc_fitter`` (one jitted epochs x minibatches scan; sequence
+students use ``bc.make_seq_bc_fitter``'s full-episode BPTT).
 
 No reference counterpart (its imitation path is GAIL-only,
 PPOV1.1/train_ppo_gail.py) — this is the privileged-teacher distillation
