@@ -32,10 +32,13 @@ python -m tpu_plume.cli train $RECIPE --episodes $EPS \
 python -m tpu_plume.cli eval --preset ppo_v2_0 --obs-memory --reward delta \
     --ckpt runs/r3_distill_gate/checkpoint --episodes 1000 --seed 0
 
-echo "=== arm D3: distilled RECURRENT PPO (LN-LSTM + phase teacher)"
+echo "=== arm D3: distilled RECURRENT PPO (LN-LSTM + phase teacher, in-plume gate)"
+# The phase-control zone (d in (50, 100), conc_norm 0.01-0.28 at sigma
+# 31.25) is fully obs-inferable WITH memory: gate the imitation there and
+# let RL own the far-field search.
 python -m tpu_plume.cli train $RECIPE --episodes $EPS \
     --arch lstm --ln-lstm --distill phase --distill-coef 0.1 \
-    --terminal-gate 40 --out runs/r3_distill_lstm
+    --distill-gate 0.01 --terminal-gate 40 --out runs/r3_distill_lstm
 python -m tpu_plume.cli eval --preset ppo_v2_0 --obs-memory --reward delta \
     --arch lstm --ln-lstm --ckpt runs/r3_distill_lstm/checkpoint \
     --episodes 1000 --seed 0
