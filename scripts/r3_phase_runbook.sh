@@ -16,6 +16,16 @@ cd "$(dirname "$0")/.."
 EPS=${1:-300000}
 RECIPE="--preset ppo_v2_0 --reward delta --obs-memory --envs 512 --unroll 64 --minibatch 4096 --lr 1e-4 --seed 0 --no-csv"
 
+echo "=== arm D0: distilled FINE-TUNE of the historical best (r2_delta2, 46.4%)"
+if [ -d /root/runs/r2_delta2/checkpoint ]; then
+python -m tpu_plume.cli train $RECIPE --episodes 100000 \
+    --ckpt /root/runs/r2_delta2/checkpoint \
+    --distill phase --distill-coef 0.1 --distill-gate 0.01 \
+    --terminal-gate 40 --min-radius 50 --out runs/r3_distill_ft
+python -m tpu_plume.cli eval --preset ppo_v2_0 --obs-memory --reward delta \
+    --ckpt runs/r3_distill_ft/checkpoint --episodes 1000 --seed 0
+fi
+
 echo "=== arm D1: distilled PPO (phase teacher, coef 0.1, gate+curriculum)"
 python -m tpu_plume.cli train $RECIPE --episodes $EPS \
     --distill phase --distill-coef 0.1 --terminal-gate 40 \
