@@ -53,6 +53,16 @@ python -m tpu_plume.cli eval --preset ppo_v2_0 --obs-memory --reward delta \
     --arch lstm --ln-lstm --ckpt runs/r3_distill_lstm/checkpoint \
     --episodes 1000 --seed 0
 
+echo "=== arm D4: distill-then-anneal (two-run composition, GAIL-study recipe)"
+python -m tpu_plume.cli train $RECIPE --episodes 200000 \
+    --distill phase --distill-coef 0.1 --distill-gate 0.01 \
+    --terminal-gate 40 --out runs/r3_distill_boot
+python -m tpu_plume.cli train $RECIPE --episodes 100000 \
+    --ckpt runs/r3_distill_boot/checkpoint --terminal-gate 40 \
+    --out runs/r3_distill_endgame
+python -m tpu_plume.cli eval --preset ppo_v2_0 --obs-memory --reward delta \
+    --ckpt runs/r3_distill_endgame/checkpoint --episodes 1000 --seed 0
+
 echo "=== arm S1: sequence DAgger at TPU scale (if CPU run was truncated)"
 python -m tpu_plume.cli train-dagger --preset ppo_v2_0 --obs-memory \
     --arch lstm --ln-lstm --rounds 12 --envs 512 --bc-epochs 15 --seed 0 \

@@ -143,3 +143,35 @@ def test_cli_gridded_bank_train(tmp_path, capsys):
     ])
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["env_steps"] == 64
+
+
+def test_cli_distilled_train_and_oracle_expert(tmp_path, capsys):
+    """--distill wires the teacher into the fused step; expert --oracle
+    collects teacher demonstrations without a checkpoint."""
+    out_dir = str(tmp_path / "run")
+    main([
+        "train", "--preset", "ppo_v2_0", "--out", out_dir,
+        "--obs-memory", "--distill", "phase", "--distill-coef", "0.5",
+        "--distill-gate", "0.02",
+        "--envs", "8", "--unroll", "16", "--minibatch", "64",
+        "--iterations", "2", "--episodes", "100000", "--no-csv",
+    ])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["env_steps"] == 2 * 8 * 16
+
+    npz = str(tmp_path / "oracle.npz")
+    main([
+        "expert", "--preset", "ppo_v2_0", "--oracle", "phase",
+        "--obs-memory", "--episodes", "6", "--out", npz,
+    ])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["samples"] > 0 and os.path.exists(npz)
+
+    bc_dir = str(tmp_path / "bc")
+    main([
+        "train-bc", "--preset", "ppo_v2_0", "--obs-memory",
+        "--expert", npz, "--bc-epochs", "4", "--out", bc_dir,
+    ])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= payload["val_accuracy"] <= 1.0
+    assert os.path.isdir(os.path.join(bc_dir, "checkpoint"))
