@@ -148,13 +148,14 @@ def test_generate_expert_data(tmp_path):
 
 # ---- scripted oracle teachers (evaluation/oracle.py) ----
 
-def _oracle_state(pos, src):
+def _oracle_state(pos, src, radius=50.0):
     """Minimal duck-typed EnvState for the pure-geometry oracle tests."""
     from types import SimpleNamespace
 
     return SimpleNamespace(
         pos=jnp.asarray(pos, jnp.float32),
         field=SimpleNamespace(source=jnp.asarray(src, jnp.float32)),
+        radius=jnp.float32(radius),
     )
 
 
@@ -220,3 +221,28 @@ def test_generate_expert_data_oracle(tmp_path):
     assert states.shape[1] == CFG.obs_dim
     assert states.shape[0] == actions.shape[0] > 0
     assert 0 <= actions.min() and actions.max() < 5
+
+
+def test_oracle_follows_episode_radius():
+    """Dynamic teacher geometry: under a shrunken curriculum radius the
+    phase oracle must NOT hover outside the protocol's 50-ball (that
+    stalls the curriculum — measured round 3); with 25-unit moves and a
+    tiny ball it degrades to the pure approach staircase."""
+    from tpu_plume.evaluation import make_oracle
+
+    cfg = EnvConfig(plume_sigma=500 / 16)
+    phase = make_oracle("phase", cfg)
+
+    # d=70 with episode radius 7.4: nothing crosses, nothing lands deep —
+    # expect the staircase step TOWARD the source (+x), not a hover/stay.
+    st = _oracle_state([190.0, 250.0], [260.0, 250.0], radius=7.4)
+    assert int(phase(st)) == 3
+
+    # same position at protocol radius 50: the crossing would be shallow
+    # (45), so the phase teacher refuses +x (the round-3 unit case).
+    st50 = _oracle_state([190.0, 250.0], [260.0, 250.0], radius=50.0)
+    assert int(phase(st50)) != 3
+
+    # explicit pinned geometry overrides the episode radius
+    pinned = make_oracle("phase", cfg, terminate_radius=50.0)
+    assert int(pinned(st)) != 3

@@ -46,19 +46,37 @@ def make_oracle(
              would land shallow, take the non-crossing action whose NEXT
              step can land deepest (2-step greedy).
 
-    ``terminate_radius`` defaults to the config's protocol radius
-    (episodes end at the first crossing of this ball).  2-D policies: the
-    z component of a 3-D flight is ignored.
+    ``terminate_radius=None`` (default) reads the EPISODE's own radius
+    from ``state.radius`` — under curriculum training the terminate ball
+    shrinks, and a teacher pinned to the protocol's 50 would teach the
+    student to hover outside a ball the episode never ends at (measured:
+    it stalls the curriculum at its first shrink).  ``success_radius`` /
+    ``target_depth`` then scale with it (0.8 x and 0.62 x — the protocol's
+    40/50 and 31/50).  Pass explicit values to pin the protocol geometry
+    (e.g. expert collection at reset-default radius 50).  2-D policies:
+    the z component of a 3-D flight is ignored.
     """
     if kind not in ORACLE_KINDS:
         raise ValueError(f"unknown oracle {kind!r}; pick from {ORACLE_KINDS}")
     m = float(cfg.move_step)
-    tr = float(cfg.initial_radius if terminate_radius is None else terminate_radius)
+    dynamic = terminate_radius is None
+
+    def _geometry(state):
+        if dynamic:
+            tr = state.radius
+            return tr, 0.8 * tr, 0.62 * tr
+        return (
+            jnp.float32(terminate_radius),
+            jnp.float32(success_radius),
+            jnp.float32(target_depth),
+        )
+
     deltas = jnp.array(
         [[0.0, 0.0], [0.0, m], [0.0, -m], [m, 0.0], [-m, 0.0]], jnp.float32
     )
 
     def act(state) -> jnp.ndarray:
+        tr, success_r, target_d = _geometry(state)
         pos = state.pos[:2]
         src = state.field.source[:2]
         to = src - pos
@@ -73,9 +91,9 @@ def make_oracle(
         land = pos[None, :] + deltas                        # [5, 2]
         ld = jnp.linalg.norm(land - src[None, :], axis=-1)  # [5]
         crossing = ld <= tr
-        deep = crossing & (ld <= success_radius)
+        deep = crossing & (ld <= success_r)
         a_deep = jnp.argmin(
-            jnp.where(deep, jnp.abs(ld - target_depth), 1e9)
+            jnp.where(deep, jnp.abs(ld - target_d), 1e9)
         ).astype(jnp.int32)
         any_deep = deep.any()
         if kind == "look1":
@@ -83,13 +101,15 @@ def make_oracle(
 
         # phase: among non-crossing actions, prefer the one whose next step
         # can land closest to target_depth (2-step greedy); if no next-step
-        # deep landing exists anywhere, close the distance.
+        # deep landing exists anywhere, close the distance.  (At small
+        # curriculum radii deep landings become unreachable with 25-unit
+        # moves and this degrades gracefully to pure approach.)
         ld2 = jnp.linalg.norm(
             land[:, None, :] + deltas[None, :, :] - src[None, None, :], axis=-1
         )                                                   # [5, 5]
-        deep2 = (ld2 <= success_radius) & (ld2 >= m)
+        deep2 = (ld2 <= success_r) & (ld2 >= m)
         best_next = jnp.min(
-            jnp.where(deep2, jnp.abs(ld2 - target_depth), 1e9), axis=-1
+            jnp.where(deep2, jnp.abs(ld2 - target_d), 1e9), axis=-1
         )                                                   # [5]
         dist_after = jnp.linalg.norm(land - src[None, :], axis=-1)
         score = jnp.where(deep2.any(axis=-1), -best_next, -100.0 - dist_after)
