@@ -267,6 +267,25 @@ def measure_tpu(
     }
 
 
+def _backend_available(timeout: float = 180.0) -> bool:
+    """Probe the default (tunneled TPU) backend in a bounded subprocess.
+
+    A dead axon service hangs clients ~25 min in backend init before
+    raising UNAVAILABLE (seen 2026-08-17); without this bound the driver's
+    bench capture would record nothing at all."""
+    import subprocess
+    import sys
+
+    code = "import jax; jax.numpy.zeros(1).block_until_ready(); print('ok')"
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout, capture_output=True
+        )
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
@@ -279,6 +298,19 @@ def main():
                          "static 2-D gridded bank, the 3-D time-varying "
                          "north-star bank, or all three (default)")
     args = ap.parse_args()
+
+    cpu_fallback = False
+    if not _backend_available():
+        # Honest degradation: measure on CPU rather than hang/record
+        # nothing, and say so in the artifact.  Skip the gridded banks
+        # (a 4 GB packed volume has no business on the host) and trim
+        # iterations — the number documents availability, not speed.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        cpu_fallback = True
+        args.bank = "none"
+        args.iters = min(args.iters, 4)
 
     if args.skip_baseline:
         base_sps = 2000.0  # conservative prior for the serial loop
@@ -302,6 +334,13 @@ def main():
             "platform": tpu["platform"],
         },
     }
+    if cpu_fallback:
+        result["extra"]["tpu_unavailable_fell_back_to_cpu"] = True
+        result["extra"]["last_tpu_run"] = {
+            "analytic": 14.78e6, "bank2d": 9.46e6, "bank3d": 7.37e6,
+            "note": "measured on the v5e mid-round (RESULTS.md round 3) "
+                    "before the axon outage",
+        }
     if args.bank == "all":
         # The north-star field paths (BASELINE.json configs[4]) next to the
         # analytic flagship, in the one driver-captured artifact.
