@@ -175,3 +175,15 @@ def test_cli_distilled_train_and_oracle_expert(tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= payload["val_accuracy"] <= 1.0
     assert os.path.isdir(os.path.join(bc_dir, "checkpoint"))
+
+
+def test_cli_eval_oracle_ceiling(tmp_path, capsys):
+    """eval --oracle runs the scripted teacher through the standard
+    harness — the fast protocol-ceiling measurement (phase oracle ~85%)."""
+    main([
+        "eval", "--preset", "ppo_v2_0", "--oracle", "phase",
+        "--episodes", "64",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["success_rate"] >= 0.6
+    assert summary["mean_steps"] < 200

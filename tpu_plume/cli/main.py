@@ -301,7 +301,14 @@ def cmd_eval(args):
     # eval must mirror train-time env/model overrides (--plume-model,
     # --obs-memory, --arch, --hidden) or the checkpoint won't fit the env
     cfg = _apply_overrides(get_preset(args.preset), args)
-    model, params = _load_params(args, cfg)
+    if args.oracle:
+        from tpu_plume.evaluation.oracle import make_oracle
+
+        oracle = make_oracle(args.oracle, cfg.env)
+        model, params = None, None
+    else:
+        oracle = None
+        model, params = _load_params(args, cfg)
     stop_gate = None
     if args.stop == "heuristic":
         stop_gate = make_heuristic_gate(cfg.eval, cfg.env.conc_peak)
@@ -347,10 +354,11 @@ def cmd_eval(args):
         )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
-        params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
+        params, model.apply if model is not None else None,
+        cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
         goal_radius=args.goal_radius, bank=_make_bank(args, cfg), rnn=rnn,
-        guide=guide,
+        guide=guide, oracle=oracle,
         track_trajectories=n_eval if (args.localize or args.save_flights) else 0,
     )
     if args.save_flights:
@@ -674,6 +682,9 @@ def build_parser():
 
     sp = sub.add_parser("eval", help="greedy evaluation harness")
     common(sp, None)
+    sp.add_argument("--oracle", choices=["naive", "look1", "phase"],
+                    help="evaluate the scripted privileged teacher instead "
+                         "of a checkpoint (protocol ceiling measurement)")
     sp.add_argument("--stop", choices=["none", "heuristic", "threshold", "peakstop"],
                     default="none")
     sp.add_argument("--lstm-ckpt")

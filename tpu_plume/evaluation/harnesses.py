@@ -133,6 +133,7 @@ def evaluate_policy(
     bank=None,
     rnn=None,
     guide=None,
+    oracle=None,
 ) -> EvalMetrics:
     """Run ``num_episodes`` parallel greedy episodes; returns per-episode
     metrics in the reference npz layout.
@@ -150,7 +151,12 @@ def evaluate_policy(
     ``guide`` is an optional ``(init_state, step_fn)`` terminal-guidance
     controller (see ``tpu_plume.evaluation.guidance``): once its source
     estimate is well-conditioned it overrides the policy's action to
-    phase-control the goal-ball crossing."""
+    phase-control the goal-ball crossing.
+
+    ``oracle`` (``evaluation.oracle.make_oracle``) replaces the policy
+    entirely with the scripted privileged teacher — the fast path for
+    ceiling measurements (``eval --oracle phase``); ``params``/``apply_fn``
+    may be None and ``guide`` should not be combined with it."""
     # ``rnn`` (a RecurrentActorCritic) switches to the hidden-carrying
     # policy step — the PPO+LSTM policy; episodes never restart inside the
     # eval scan, so no reset bookkeeping is needed.
@@ -196,15 +202,21 @@ def evaluate_policy(
 
         def body(c: _EvalCarry, _):
             key, k_act, k_step = jax.random.split(c.key, 3)
-            if rnn is not None:
-                pol_state, logits, _ = rnn.apply(params, c.policy_state, c.obs)
-            else:
+            if oracle is not None:
                 pol_state = c.policy_state
-                logits, _ = apply_fn(params, c.obs)
-            if greedy:
-                action = jnp.argmax(logits, axis=-1)
+                action = jax.vmap(oracle)(c.env_state)
             else:
-                action = jax.random.categorical(k_act, logits, axis=-1)
+                if rnn is not None:
+                    pol_state, logits, _ = rnn.apply(
+                        params, c.policy_state, c.obs
+                    )
+                else:
+                    pol_state = c.policy_state
+                    logits, _ = apply_fn(params, c.obs)
+                if greedy:
+                    action = jnp.argmax(logits, axis=-1)
+                else:
+                    action = jax.random.categorical(k_act, logits, axis=-1)
             if guide is not None:
                 _, g_fn = guide
                 new_guide, action, _ = jax.vmap(g_fn)(
