@@ -92,9 +92,58 @@ def test_guide_phase_controls_crossing():
             land = np.linalg.norm(
                 np.asarray(pos) + deltas[int(action)] - np.asarray(src)
             )
-            assert land <= gcfg.deep_target + 1.5 or land > gcfg.terminate_radius, (
+            # a crossing must land within the acceptance band (deep_take);
+            # anything shallower requires staying outside the ball
+            assert land <= gcfg.deep_take + 1.5 or land > gcfg.terminate_radius, (
                 ang, dist, land,
             )
+
+
+def test_guide_commit_latch_and_radial_calibration():
+    """Round-3 dive commitment: once the fit has validated, the guide keeps
+    steering even when the gates flicker off (measured +2.7pp s@40), and
+    the radial calibration EMA tracks the (est-implied - pointwise) offset
+    of high-SNR reads (measured +7.3pp with the deep_take band)."""
+    cfg = EnvConfig(turbulence_intensity=1e-9)
+    gcfg = GuideConfig(min_samples=5)
+    src = jnp.array([250.0, 250.0])
+    sigma2 = cfg.plume_sigma**2
+    gs = guide_init(gcfg)
+    step = jax.jit(lambda gs, p, c, a: guide_step(gs, p, c, a, cfg, gcfg))
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        pos = jnp.asarray(src + rng.uniform(-60, 60, 2), jnp.float32)
+        d2 = jnp.sum((pos - src) ** 2)
+        conc = cfg.conc_peak * jnp.exp(-d2 / (2 * sigma2))
+        gs, _, _ = step(gs, pos, conc, jnp.int32(0))
+    assert bool(gs.est_ok) and bool(gs.committed)
+    # noiseless reads against a converged estimate: calibration ~0
+    assert bool(gs.bias_ok)
+    assert abs(float(gs.rad_bias)) < 2.0
+
+    # wreck the sample buffer so the fit gates fail -> est_ok drops, but
+    # the committed latch keeps the guide overriding with est_good
+    gs_bad = gs.replace(w_buf=jnp.zeros_like(gs.w_buf))
+    pos = jnp.asarray(src + jnp.array([60.0, 0.0]), jnp.float32)
+    conc = cfg.conc_peak * jnp.exp(-(60.0**2) / (2 * sigma2))
+    gs2, action, overriding = step(gs_bad, pos, conc, jnp.int32(0))
+    assert not bool(gs2.est_ok)
+    assert bool(gs2.committed) and bool(overriding)
+    # the committed action is still the phase controller: from 60 px out
+    # it must not cross shallow
+    deltas = np.asarray(methane._action_delta(jnp.arange(5), cfg))
+    land = np.linalg.norm(np.asarray(pos) + deltas[int(action)] - np.asarray(src))
+    assert land <= gcfg.deep_take + 1.5 or land > gcfg.terminate_radius
+
+    # a biased estimate is corrected by the pointwise read: shift est_good
+    # outward by 6 px (with the fit gates down, so the latched est_good is
+    # what steers) and verify the EMA learns a positive offset
+    est_shift = gs.est + jnp.array([6.0, 0.0])
+    gs3 = gs.replace(est_good=est_shift, w_buf=jnp.zeros_like(gs.w_buf))
+    pos = jnp.asarray(src + jnp.array([-60.0, 0.0]), jnp.float32)
+    conc = cfg.conc_peak * jnp.exp(-(60.0**2) / (2 * sigma2))
+    gs4, _, _ = step(gs3, pos, conc, jnp.int32(0))
+    assert float(gs4.rad_bias) > 1.5
 
 
 def _raster_apply(cfg):

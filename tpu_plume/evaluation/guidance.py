@@ -65,10 +65,14 @@ class GuideConfig:
     max_residual: float = 12.0
     # goal-ball radius the episode terminates at (reference INITIAL_RADIUS)
     terminate_radius: float = 50.0
-    # land at most this deep — margin under the success@40 line for the
+    # ideal landing depth — margin under the success@40 line for the
     # stochastic turbulence displacement of the executed move plus the
     # fit's max_se.
     deep_target: float = 30.0
+    # acceptance bound for taking a crossing (phase_action's two-tier
+    # depth logic): landings in (deep_target, deep_take] are accepted
+    # rather than waiting another rim-exposed setup step.
+    deep_take: float = 34.0
     # hover entry: a single >= enter_strong read, or a readable step
     # followed by an >= enter_weak read (both in debiased conc_n units)
     enter_weak: float = 0.045
@@ -105,6 +109,40 @@ class GuideConfig:
     # |delta d_hat| across one move that counts as a trusted radial
     # measurement (above the turbulence-displacement noise)
     radial_move_min: float = 6.0
+    # --- dive commitment (round-3 diagnostics, scripts/guide_diag.py) ---
+    # Once the fit has validated, COMMIT to estimate-based steering even if
+    # the gates later flicker off (new high-weight samples arriving during
+    # the dive can push the residual over the gate; measured: 10.2% of
+    # episodes "validated then lost" scored 17.6% s@40 with a final
+    # estimate error of only 13 px — the reverted policy crossed shallow,
+    # the discarded estimate would have landed deep).
+    commit_on_ok: bool = True
+    # Stuck-hover fallback: episodes whose fit geometry is fine (se within
+    # the gate, plenty of inliers) but whose radial residual never passes
+    # sit in hover until timeout (measured: 8.2% of episodes, est err
+    # ~18 px, 26% time out, 0% success).  After this many hover steps with
+    # good geometry, dive on the estimate anyway; <= 0 disables.  OFF by
+    # default: every patience/se-bar tried (160/320/480, se and se/2)
+    # measured neutral-to-negative — early fallback dives preempt
+    # validations that would have scored better (scripts/guide_ab.py).
+    fallback_patience: int = 0
+    fallback_min_inliers: int = 20
+    # geometry bar for the fallback (posterior se, px); defaults to max_se
+    max_se_fallback: float | None = None
+    # --- radial calibration of the dive (scripts/guide_diag.py) ---------
+    # The fit's radial error (~4-5 px median) dominates dive failures: the
+    # setup ring sits only ~4 px outside the terminator, so an estimate
+    # biased inward crosses the rim accidentally (landing 45-50 = fail),
+    # and planned landing depths err by the same offset.  The POINTWISE
+    # inversion at shell concentrations (conc_n ~ 0.2) is accurate to
+    # ~1.5 px, so before/during the dive the estimate's radial offset is
+    # measured against the current cell's pointwise distance and all
+    # lookahead distances are shifted by its EMA.  0 disables.
+    bias_alpha: float = 0.5
+    # trust a pointwise read for calibration above this conc_n
+    bias_conc_min: float = 0.06
+    # clip the learned radial offset (px)
+    bias_clip: float = 12.0
 
 
 _NOISE_STD_FRAC = 0.623  # std of (|N(0,1)| + 0.3 sin*cos + 0.2 U) per unit TI
@@ -158,6 +196,7 @@ def derive_guide_config(
 
     deep = min(success_radius - 10.0, 0.8 * terminate_radius)
     return GuideConfig(
+        deep_take=min(success_radius - 6.0, 0.9 * terminate_radius),
         conc_floor=conc_floor,
         enter_weak=2.4 * noise_n,
         enter_strong=3.3 * noise_n,
@@ -199,6 +238,11 @@ class GuideState:
     streak: jnp.ndarray     # i32 consecutive readable (>= floor) steps
     best_conc: jnp.ndarray  # f32 highest conc_n contact so far
     best_pos: jnp.ndarray   # f32[2] its position (always outside the ball)
+    committed: jnp.ndarray  # bool: dive commitment latched
+    est_good: jnp.ndarray   # f32[2] last estimate that passed the gates
+    hover_age: jnp.ndarray  # i32 consecutive steps in hover mode
+    rad_bias: jnp.ndarray   # f32 EMA of (est-implied - pointwise) distance
+    bias_ok: jnp.ndarray    # bool: rad_bias has been measured
 
 
 def guide_init(gcfg: GuideConfig) -> GuideState:
@@ -228,6 +272,11 @@ def guide_init(gcfg: GuideConfig) -> GuideState:
         streak=zi,
         best_conc=z,
         best_pos=jnp.zeros((2,), jnp.float32),
+        committed=zb,
+        est_good=jnp.zeros((2,), jnp.float32),
+        hover_age=zi,
+        rad_bias=z,
+        bias_ok=zb,
     )
 
 
@@ -302,22 +351,60 @@ def phase_action(
     terminate_radius: float,
     deep_target: float,
     setup_distance: float,
+    deep_take: float | None = None,
+    radial_bias: jnp.ndarray | float = 0.0,
 ) -> jnp.ndarray:
-    """Crossing-phase control from a source estimate: 5-way lookahead that
-    takes a goal-ball crossing only when it lands deeper than
-    ``deep_target``, otherwise holds the setup ring one move out.  Shared
-    by the trilateration guide and the learned-localizer guide."""
+    """Crossing-phase control from a source estimate: two-step lookahead
+    that takes a goal-ball crossing only when it lands within ``deep_take``
+    of the source, and otherwise maneuvers (without crossing) toward a
+    position whose NEXT step can land near ``deep_target``.  Shared by the
+    trilateration guide and the learned-localizer guide.
+
+    The two-step setup tier is the load-bearing change vs the round-2
+    one-step controller (measured, scripts/guide_diag.py): with axis-only
+    moves a landing near ``deep_target`` exists only from ring positions
+    within ~12 degrees of axis alignment, so a controller that merely holds
+    the setup ring waits for turbulence to rotate it into alignment —
+    dives averaged 30+ steps of rim exposure and 21% of "dives" were
+    actually accidental rim crossings.  Scoring setup moves by the depth
+    their next step enables walks the agent around the ring to alignment
+    in 1-3 steps (the same 2-step greedy as the ``phase`` oracle,
+    evaluation/oracle.py).  ``deep_take`` (default ``deep_target``) is the
+    acceptance bound: landings deeper than the ideal target are preferred
+    over waiting, asymmetrically — overshooting the target toward the
+    source costs nothing, landing shallower than it risks the
+    success/terminate rim."""
+    take = deep_target if deep_take is None else deep_take
     deltas = _action_delta(jnp.arange(cfg.num_actions), cfg)[:, :2]
-    d_next = jnp.linalg.norm(pos2[None, :] + deltas - est[None, :], axis=-1)
-    crossing = d_next <= terminate_radius
-    deep = d_next <= deep_target
+    land = pos2[None, :] + deltas                       # [A, 2]
+    # ``radial_bias`` shifts every est-implied distance by the measured
+    # (est-implied - pointwise) offset: positive bias means the estimate
+    # overstates distances, so true landings are shallower than d1.
+    d1 = jnp.linalg.norm(land - est[None, :], axis=-1) - radial_bias  # [A]
+    crossing = d1 <= terminate_radius
+
+    def depth_score(d):
+        # asymmetric |d - deep_target|: deeper-than-target is cheap,
+        # shallower-than-target approaches the failure rim
+        return jnp.where(d > deep_target, d - deep_target,
+                         0.3 * (deep_target - d))
+
+    d2 = jnp.linalg.norm(
+        land[:, None, :] + deltas[None, :, :] - est[None, None, :], axis=-1
+    ) - radial_bias                                      # [A, A]
+    deep2 = d2 <= take
+    best2 = jnp.min(jnp.where(deep2, depth_score(d2), 1e9), axis=-1)
     score = jnp.where(
-        crossing & deep,
-        d_next,  # crossing deep: deepest wins
+        crossing & (d1 <= take),
+        depth_score(d1),                                # take a deep landing
         jnp.where(
-            ~crossing,
-            1e3 + jnp.abs(d_next - setup_distance),  # set up the phase
-            2e3 + d_next,  # shallow crossing: last resort
+            ~crossing & deep2.any(axis=-1),
+            1e3 + best2,                                # setup: enable a deep next step
+            jnp.where(
+                ~crossing,
+                2e3 + jnp.abs(d1 - setup_distance),     # approach the ring
+                3e3 + d1,                               # shallow crossing: last resort
+            ),
         ),
     )
     return jnp.argmin(score)
@@ -446,11 +533,53 @@ def guide_step(
     do_probe = d_hat >= gcfg.probe_in_min
     bounce_action = jnp.where(do_probe, probe_in, out_step)
 
+    # ---- dive commitment + stuck-hover fallback ----------------------
+    # (both measured in scripts/guide_diag.py; see GuideConfig docs)
+    hover_age = jnp.where(mode == 1, gs.hover_age + 1, jnp.int32(0))
+    soft = jnp.zeros((), bool)
+    if gcfg.fallback_patience > 0:
+        se_bar = (gcfg.max_se if gcfg.max_se_fallback is None
+                  else gcfg.max_se_fallback)
+        soft = (
+            (hover_age >= gcfg.fallback_patience)
+            & (fit_se <= se_bar)
+            & (fit_n >= gcfg.fallback_min_inliers)
+        )
+    commit_now = soft | (ok if gcfg.commit_on_ok else jnp.zeros((), bool))
+    committed = gs.committed | commit_now
+    # the committed estimate refreshes whenever the gates (or the fallback's
+    # geometry conditions) pass — a dive in progress uses the freshest
+    # validated fix, and keeps the last good one when the gates flicker
+    est_good = jnp.where(ok | soft, est, gs.est_good)
+    est_used = jnp.where(ok, est, est_good)
+    steer = ok | committed
+
+    # ---- radial calibration of the committed estimate ----------------
+    # (see GuideConfig.bias_*: the pointwise distance at shell
+    # concentrations is ~3x more accurate radially than the fit)
+    rad_bias, bias_ok = gs.rad_bias, gs.bias_ok
+    bias = jnp.zeros((), jnp.float32)
+    if gcfg.bias_alpha > 0:
+        d_used_here = jnp.linalg.norm(pos[:2] - est_used)
+        good_read = (conc_n >= gcfg.bias_conc_min) & steer
+        bias_raw = jnp.clip(
+            d_used_here - d_hat, -gcfg.bias_clip, gcfg.bias_clip)
+        a = gcfg.bias_alpha
+        rad_bias = jnp.where(
+            good_read,
+            jnp.where(gs.bias_ok,
+                      (1.0 - a) * gs.rad_bias + a * bias_raw, bias_raw),
+            gs.rad_bias,
+        )
+        bias_ok = gs.bias_ok | good_read
+        bias = jnp.where(bias_ok, rad_bias, 0.0)
+
     # ---- est-based lookahead (shared by hold ring and dive) ----------
     deltas = _action_delta(jnp.arange(cfg.num_actions), cfg)[:, :2]
     g_action = phase_action(
-        pos[:2], est, cfg,
+        pos[:2], est_used, cfg,
         gcfg.terminate_radius, gcfg.deep_target, gcfg.setup_distance,
+        deep_take=gcfg.deep_take, radial_bias=bias,
     )
 
     # (A pre-dive est-based "hold ring" was tried here and measured WORSE
@@ -465,11 +594,11 @@ def guide_step(
     rally = jnp.argmin(jnp.where(jnp.arange(cfg.num_actions) == 0, 1e9, d_rally))
     hover_action = jnp.where(have_d, hover_action, rally)
 
-    hovering = (mode == 1) & ~ok
+    hovering = (mode == 1) & ~steer
     action = jnp.where(
-        ok, g_action, jnp.where(hovering, hover_action, policy_action)
+        steer, g_action, jnp.where(hovering, hover_action, policy_action)
     ).astype(policy_action.dtype)
-    overriding = ok | hovering
+    overriding = steer | hovering
 
     gs = gs.replace(
         mode=mode,
@@ -492,6 +621,11 @@ def guide_step(
         streak=streak,
         best_conc=best_conc,
         best_pos=best_pos,
+        committed=committed,
+        est_good=est_good,
+        hover_age=hover_age,
+        rad_bias=rad_bias,
+        bias_ok=bias_ok,
     )
     return gs, action, overriding
 
