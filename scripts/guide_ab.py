@@ -42,12 +42,10 @@ def main():
 
     base = derive_guide_config(cfg.env, 50.0, cfg.eval.success_distance)
     arms = {
-        "cal take36": dataclasses.replace(
-            base, fallback_patience=0, deep_take=36.0),
-        "cal take34 target27": dataclasses.replace(
-            base, fallback_patience=0, deep_target=27.0),
-        "cal take36 target27": dataclasses.replace(
-            base, fallback_patience=0, deep_take=36.0, deep_target=27.0),
+        "shipped": base,
+        "+ fallback480": dataclasses.replace(base, fallback_patience=480),
+        "+ fallback480 + relax": dataclasses.replace(
+            base, fallback_patience=480, take_relax_age=60),
     }
     for name, gcfg in arms.items():
         guide = make_guide(cfg.env, gcfg=gcfg)

@@ -121,11 +121,14 @@ class GuideConfig:
     # the gate, plenty of inliers) but whose radial residual never passes
     # sit in hover until timeout (measured: 8.2% of episodes, est err
     # ~18 px, 26% time out, 0% success).  After this many hover steps with
-    # good geometry, dive on the estimate anyway; <= 0 disables.  OFF by
-    # default: every patience/se-bar tried (160/320/480, se and se/2)
-    # measured neutral-to-negative — early fallback dives preempt
-    # validations that would have scored better (scripts/guide_ab.py).
-    fallback_patience: int = 0
+    # good geometry, dive on the estimate anyway; <= 0 disables.  Tuning
+    # history (scripts/guide_ab.py): at patience 160-320 the early dives
+    # preempt validations that would have scored better (-2 to -10pp);
+    # UNCALIBRATED the fallback is neutral at best; with the radial
+    # calibration, patience 480 is a small consistent win (+0.5pp s@40,
+    # ~6% fewer steps, fewer timeouts) because the fallback dive's radial
+    # error is corrected at the shell.
+    fallback_patience: int = 480
     fallback_min_inliers: int = 20
     # geometry bar for the fallback (posterior se, px); defaults to max_se
     max_se_fallback: float | None = None
@@ -143,6 +146,15 @@ class GuideConfig:
     bias_conc_min: float = 0.06
     # clip the learned radial offset (px)
     bias_clip: float = 12.0
+    # after this many committed steps without a crossing, widen the
+    # acceptance band to take_relax_to (a stale/angular-biased latched
+    # estimate can hold a ring around the wrong center forever); 0 disables
+    take_relax_age: int = 0
+    take_relax_to: float = 38.0
+    # require this many consecutive far reads before an inward hover probe
+    # (a single floor-grazing noise spike inverts to d_hat ~ 80 at any true
+    # distance, which baits an in-probe into an accidental rim crossing)
+    probe_consistency: int = 1
 
 
 _NOISE_STD_FRAC = 0.623  # std of (|N(0,1)| + 0.3 sin*cos + 0.2 U) per unit TI
@@ -243,6 +255,8 @@ class GuideState:
     hover_age: jnp.ndarray  # i32 consecutive steps in hover mode
     rad_bias: jnp.ndarray   # f32 EMA of (est-implied - pointwise) distance
     bias_ok: jnp.ndarray    # bool: rad_bias has been measured
+    commit_age: jnp.ndarray  # i32 steps since the dive commitment latched
+    far_count: jnp.ndarray   # i32 consecutive reads beyond probe_in_min
 
 
 def guide_init(gcfg: GuideConfig) -> GuideState:
@@ -277,6 +291,8 @@ def guide_init(gcfg: GuideConfig) -> GuideState:
         hover_age=zi,
         rad_bias=z,
         bias_ok=zb,
+        commit_age=zi,
+        far_count=zi,
     )
 
 
@@ -530,7 +546,14 @@ def guide_step(
         jnp.where(went_out, gs.last_action, rev),
         jnp.where(rev == 0, probe_in, rev),
     )
-    do_probe = d_hat >= gcfg.probe_in_min
+    # consecutive-far-read requirement before an inward probe (see
+    # GuideConfig.probe_consistency; 1 = the round-2 single-read behavior)
+    far_count = jnp.where(
+        have_d & (d_hat >= gcfg.probe_in_min), gs.far_count + 1, 0
+    )
+    do_probe = (d_hat >= gcfg.probe_in_min) & (
+        far_count >= gcfg.probe_consistency
+    )
     bounce_action = jnp.where(do_probe, probe_in, out_step)
 
     # ---- dive commitment + stuck-hover fallback ----------------------
@@ -575,11 +598,18 @@ def guide_step(
         bias = jnp.where(bias_ok, rad_bias, 0.0)
 
     # ---- est-based lookahead (shared by hold ring and dive) ----------
+    commit_age = jnp.where(committed, gs.commit_age + 1, jnp.int32(0))
+    take_eff = jnp.float32(gcfg.deep_take)
+    if gcfg.take_relax_age > 0:
+        take_eff = jnp.where(
+            commit_age >= gcfg.take_relax_age,
+            jnp.float32(gcfg.take_relax_to), take_eff,
+        )
     deltas = _action_delta(jnp.arange(cfg.num_actions), cfg)[:, :2]
     g_action = phase_action(
         pos[:2], est_used, cfg,
         gcfg.terminate_radius, gcfg.deep_target, gcfg.setup_distance,
-        deep_take=gcfg.deep_take, radial_bias=bias,
+        deep_take=take_eff, radial_bias=bias,
     )
 
     # (A pre-dive est-based "hold ring" was tried here and measured WORSE
@@ -626,6 +656,8 @@ def guide_step(
         hover_age=hover_age,
         rad_bias=rad_bias,
         bias_ok=bias_ok,
+        commit_age=commit_age,
+        far_count=far_count,
     )
     return gs, action, overriding
 
