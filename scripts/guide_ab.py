@@ -42,10 +42,9 @@ def main():
 
     base = derive_guide_config(cfg.env, 50.0, cfg.eval.success_distance)
     arms = {
-        "shipped": base,
-        "+ fallback480": dataclasses.replace(base, fallback_patience=480),
-        "+ fallback480 + relax": dataclasses.replace(
-            base, fallback_patience=480, take_relax_age=60),
+        "shipped (fb480)": base,
+        "+ sign-aware out": dataclasses.replace(base, sign_aware_out=True),
+        "+ probe_in_min 88": dataclasses.replace(base, probe_in_min=88.0),
     }
     for name, gcfg in arms.items():
         guide = make_guide(cfg.env, gcfg=gcfg)

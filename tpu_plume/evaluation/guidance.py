@@ -155,6 +155,10 @@ class GuideConfig:
     # (a single floor-grazing noise spike inverts to d_hat ~ 80 at any true
     # distance, which baits an in-probe into an accidental rim crossing)
     probe_consistency: int = 1
+    # hover out-steps follow the remembered per-axis inward signs (move
+    # opposite the axis judged inward) instead of the continue/reverse
+    # heuristic on the noisy one-step delta_d
+    sign_aware_out: bool = False
 
 
 _NOISE_STD_FRAC = 0.623  # std of (|N(0,1)| + 0.3 sin*cos + 0.2 U) per unit TI
@@ -546,6 +550,15 @@ def guide_step(
         jnp.where(went_out, gs.last_action, rev),
         jnp.where(rev == 0, probe_in, rev),
     )
+    if gcfg.sign_aware_out:
+        out_x = jnp.where(sx > 0, 4, 3)  # opposite of the inward x move
+        out_y = jnp.where(sy > 0, 2, 1)
+        out_step = jnp.where(
+            was_x & know_x, out_x,
+            jnp.where(was_y & know_y, out_y,
+                      jnp.where(know_x, out_x,
+                                jnp.where(know_y, out_y, out_step))),
+        ).astype(jnp.int32)
     # consecutive-far-read requirement before an inward probe (see
     # GuideConfig.probe_consistency; 1 = the round-2 single-read behavior)
     far_count = jnp.where(
