@@ -227,6 +227,10 @@ def derive_guide_config(
         cross_check_conc=3.3 * noise_n,
         cross_check_tol=2.5 * r_err(3.3 * noise_n),
         radial_move_min=0.24 * move,
+        # radial calibration trusts reads with the same SNR the
+        # cross-check does, and clips at the cross-check's own tolerance
+        bias_conc_min=3.3 * noise_n,
+        bias_clip=1.2 * 2.5 * r_err(3.3 * noise_n),
     )
 
 
