@@ -30,21 +30,22 @@ def localize_from_trajectories(
 
     from tpu_plume.models import GaussianParamPredictor
 
-    k = trajectories.shape[0]
-    feats = np.zeros((k, window, 3), np.float32)
-    lens = np.zeros((k,), np.int32)
-    for i in range(k):
-        valid = np.isfinite(trajectories[i, :, 0])
-        rows = trajectories[i, valid]
-        length = min(len(rows), window)
-        if length == 0:
-            lens[i] = 1  # degenerate: all-NaN episode; predict from zeros
-            continue
-        tail = rows[len(rows) - length:]
-        feats[i, :length, 0] = tail[:, 0] / grid_size
-        feats[i, :length, 1] = tail[:, 1] / grid_size
-        feats[i, :length, 2] = tail[:, 2] / conc_peak
-        lens[i] = length
+    # Vectorized tail-window extraction (episodes are NaN-padded at the
+    # end, so the valid rows are the contiguous prefix): gather the last
+    # ``min(len, window)`` steps of each flight, front-aligned, zero-padded.
+    lengths = np.isfinite(trajectories[..., 0]).sum(axis=1)       # [K]
+    eff = np.minimum(lengths, window)
+    start = np.maximum(lengths - window, 0)
+    idx = start[:, None] + np.arange(window)[None, :]             # [K, W]
+    idx = np.minimum(idx, np.maximum(lengths - 1, 0)[:, None])
+    rows = np.take_along_axis(
+        trajectories, idx[..., None], axis=1
+    ).astype(np.float32)                                          # [K, W, 3]
+    mask = (np.arange(window)[None, :] < eff[:, None])[..., None]
+    scale = np.array([grid_size, grid_size, conc_peak], np.float32)
+    feats = np.where(mask, np.nan_to_num(rows) / scale, 0.0)
+    # degenerate all-NaN episodes predict from zeros with length 1
+    lens = np.maximum(eff, 1).astype(np.int32)
     model = GaussianParamPredictor()
     pred = np.asarray(
         model.apply(params, jnp.asarray(feats), jnp.asarray(lens))
