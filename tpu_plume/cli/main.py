@@ -369,6 +369,14 @@ def cmd_eval(args):
             args.save_flights, trajectories=m.trajectories, sources=m.sources
         )
     summary = summarize(m)
+    if args.goal_radius is not None:
+        import numpy as np
+
+        # precision protocol: the bullseye rate (deviation within the
+        # terminator itself) is the headline, not success@success_distance
+        summary["bullseye_rate"] = float(
+            (np.asarray(m.deviations) <= args.goal_radius).mean()
+        )
     if args.localize:
         import jax.numpy as jnp
         import numpy as np
