@@ -109,6 +109,7 @@ def train_dagger(
     lr: float = 1e-3,
     max_round_samples: int = 65536,
     val_frac: float = 0.05,
+    seq_episode_cap: int = 1024,
     verbose: bool = True,
 ) -> DaggerResult:
     """Round 0 collects with the oracle driving (beta=1, = BC); later
@@ -182,9 +183,17 @@ def train_dagger(
             n_val = max(1, min(256, n_eps // 20))
             va, tr = order[:n_val], order[n_val:]
             # pow2 episode capacity by cyclic repetition (same program-
-            # shape discipline as the flat path below).
+            # shape discipline as the flat path below), bounded by
+            # ``seq_episode_cap``: the [T, 2048]-episode BPTT fit program
+            # reproducibly CRASHES the axon TPU worker ("kernel fault",
+            # 2026-08-18, twice at the identical point), so the aggregate
+            # is random-subsampled to the last-known-good program shape —
+            # reservoir-style DAgger, each round fits a fresh uniform
+            # subset of the full aggregate.
             cap = 1 << max(7, int(np.ceil(np.log2(tr.size))))
-            rep = np.resize(tr, (cap,))
+            cap = min(cap, seq_episode_cap)
+            rep = (rng.choice(tr, cap, replace=False)
+                   if tr.size > cap else np.resize(tr, (cap,)))
             vrep = np.resize(va, (256,))
             key, k_fit = jax.random.split(key)
             params, losses, val_loss, val_acc = fit(
