@@ -42,9 +42,9 @@ def main():
 
     base = derive_guide_config(cfg.env, 50.0, cfg.eval.success_distance)
     arms = {
-        "shipped (fb480)": base,
-        "+ sign-aware out": dataclasses.replace(base, sign_aware_out=True),
-        "+ probe_in_min 88": dataclasses.replace(base, probe_in_min=88.0),
+        "no phantom (prev shipped)": dataclasses.replace(
+            base, phantom_patience=0),
+        "+ phantom refutation": base,
     }
     for name, gcfg in arms.items():
         guide = make_guide(cfg.env, gcfg=gcfg)

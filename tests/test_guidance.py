@@ -103,9 +103,13 @@ def test_guide_commit_latch_and_radial_calibration():
     """Round-3 dive commitment: once the fit has validated, the guide keeps
     steering even when the gates flicker off (measured +2.7pp s@40), and
     the radial calibration EMA tracks the (est-implied - pointwise) offset
-    of high-SNR reads (measured +7.3pp with the deep_take band)."""
+    of high-SNR reads (measured +7.3pp with the deep_take band).
+
+    phantom_patience is disabled here: the synthetic convergence loop feeds
+    in-ball positions (impossible in a live episode, which would have
+    terminated) that would otherwise trip the refutation."""
     cfg = EnvConfig(turbulence_intensity=1e-9)
-    gcfg = GuideConfig(min_samples=5)
+    gcfg = GuideConfig(min_samples=5, phantom_patience=0)
     src = jnp.array([250.0, 250.0])
     sigma2 = cfg.plume_sigma**2
     gs = guide_init(gcfg)
@@ -144,6 +148,42 @@ def test_guide_commit_latch_and_radial_calibration():
     conc = cfg.conc_peak * jnp.exp(-(60.0**2) / (2 * sigma2))
     gs4, _, _ = step(gs3, pos, conc, jnp.int32(0))
     assert float(gs4.rad_bias) > 1.5
+
+
+def test_guide_phantom_refutation():
+    """A committed fit that claims the agent is inside the terminate ball
+    while the episode is still alive is refuted by the environment: after
+    phantom_patience such steps the guide un-commits and wipes the sample
+    weights so trilateration restarts."""
+    cfg = EnvConfig(turbulence_intensity=1e-9)
+    gcfg = GuideConfig(min_samples=5)
+    src = jnp.array([250.0, 250.0])
+    sigma2 = cfg.plume_sigma**2
+    gs = guide_init(gcfg)
+    step = jax.jit(lambda gs, p, c, a: guide_step(gs, p, c, a, cfg, gcfg))
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        # converge from the safe annulus only (live-episode-consistent)
+        ang = rng.uniform(0, 2 * np.pi)
+        d = rng.uniform(52, 85)
+        pos = jnp.asarray(
+            src + d * jnp.array([np.cos(ang), np.sin(ang)]), jnp.float32)
+        conc = cfg.conc_peak * jnp.exp(-(d * d) / (2 * sigma2))
+        gs, _, _ = step(gs, pos, conc, jnp.int32(0))
+    assert bool(gs.committed)
+
+    # teleport the "estimate" far from the true source by feeding samples
+    # consistent with a phantom: the agent sits where the committed
+    # estimate says d ~ 10 (inside the ball) yet the episode continues
+    phantom_pos = gs.est + jnp.array([10.0, 0.0])
+    d_true = float(jnp.linalg.norm(phantom_pos - src))
+    conc = cfg.conc_peak * jnp.exp(-(d_true**2) / (2 * sigma2))
+    for _ in range(gcfg.phantom_patience):
+        assert bool(gs.committed)
+        gs, _, _ = step(gs, jnp.asarray(phantom_pos, jnp.float32), conc,
+                        jnp.int32(0))
+    assert not bool(gs.committed)
+    assert float(gs.w_buf.sum()) == 0.0  # fit restarts
 
 
 def _raster_apply(cfg):

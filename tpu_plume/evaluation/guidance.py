@@ -159,6 +159,14 @@ class GuideConfig:
     # opposite the axis judged inward) instead of the continue/reverse
     # heuristic on the noisy one-step delta_d
     sign_aware_out: bool = False
+    # phantom-estimate refutation: if the committed estimate says the agent
+    # is inside the terminate ball (by phantom_margin) for phantom_patience
+    # consecutive steps and the episode has NOT ended, the environment has
+    # refuted the fit — un-commit and wipe the sample weights so the fit
+    # restarts (measured class: 5.9% of episodes time out orbiting a
+    # confident fit ~66 px off the true source).  0 disables.
+    phantom_patience: int = 3
+    phantom_margin: float = 5.0
 
 
 _NOISE_STD_FRAC = 0.623  # std of (|N(0,1)| + 0.3 sin*cos + 0.2 U) per unit TI
@@ -265,6 +273,7 @@ class GuideState:
     bias_ok: jnp.ndarray    # bool: rad_bias has been measured
     commit_age: jnp.ndarray  # i32 steps since the dive commitment latched
     far_count: jnp.ndarray   # i32 consecutive reads beyond probe_in_min
+    phantom_count: jnp.ndarray  # i32 consecutive alive-inside-the-est-ball steps
 
 
 def guide_init(gcfg: GuideConfig) -> GuideState:
@@ -301,6 +310,7 @@ def guide_init(gcfg: GuideConfig) -> GuideState:
         bias_ok=zb,
         commit_age=zi,
         far_count=zi,
+        phantom_count=zi,
     )
 
 
@@ -614,6 +624,21 @@ def guide_step(
         bias_ok = gs.bias_ok | good_read
         bias = jnp.where(bias_ok, rad_bias, 0.0)
 
+    # ---- phantom-estimate refutation ----------------------------------
+    # (see GuideConfig.phantom_*: alive inside the estimated ball = the
+    # environment refuted the fit)
+    refuted = jnp.zeros((), bool)
+    phantom_count = jnp.zeros_like(gs.phantom_count)
+    if gcfg.phantom_patience > 0:
+        d_here_eff = jnp.linalg.norm(pos[:2] - est_used) - bias
+        phantom = committed & (
+            d_here_eff <= gcfg.terminate_radius - gcfg.phantom_margin
+        )
+        phantom_count = jnp.where(phantom, gs.phantom_count + 1, jnp.int32(0))
+        refuted = phantom_count >= gcfg.phantom_patience
+        committed = committed & ~refuted
+        bias_ok = bias_ok & ~refuted
+
     # ---- est-based lookahead (shared by hold ring and dive) ----------
     commit_age = jnp.where(committed, gs.commit_age + 1, jnp.int32(0))
     take_eff = jnp.float32(gcfg.deep_take)
@@ -641,6 +666,7 @@ def guide_step(
     rally = jnp.argmin(jnp.where(jnp.arange(cfg.num_actions) == 0, 1e9, d_rally))
     hover_action = jnp.where(have_d, hover_action, rally)
 
+    steer = steer & ~refuted
     hovering = (mode == 1) & ~steer
     action = jnp.where(
         steer, g_action, jnp.where(hovering, hover_action, policy_action)
@@ -675,6 +701,10 @@ def guide_step(
         bias_ok=bias_ok,
         commit_age=commit_age,
         far_count=far_count,
+        phantom_count=phantom_count,
+        # a refuted fit's samples are wiped so the trilateration restarts
+        # from the post-refutation flight
+        w_buf=jnp.where(refuted, jnp.zeros_like(gs.w_buf), gs.w_buf),
     )
     return gs, action, overriding
 
