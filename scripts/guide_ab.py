@@ -42,9 +42,9 @@ def main():
 
     base = derive_guide_config(cfg.env, 50.0, cfg.eval.success_distance)
     arms = {
-        "no phantom (prev shipped)": dataclasses.replace(
-            base, phantom_patience=0),
-        "+ phantom refutation": base,
+        "shipped": base,
+        "+ dive warmup 1": dataclasses.replace(base, dive_warmup=1),
+        "+ dive warmup 2": dataclasses.replace(base, dive_warmup=2),
     }
     for name, gcfg in arms.items():
         guide = make_guide(cfg.env, gcfg=gcfg)

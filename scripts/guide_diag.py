@@ -88,9 +88,19 @@ def main():
             xok = jnp.where(conc_n >= gcfg.cross_check_conc,
                             jnp.abs(d_est - jnp.sqrt(jnp.maximum(r2, 0.0)))
                             <= gcfg.cross_check_tol, True)
+            # which hover branch chose this step's action: probe-in, or
+            # rally (no trusted read), or the out/bounce heuristic
+            noise_mean2 = cfg.env.turbulence_intensity * (0.7978845608 + 0.1)
+            cn = (conc - noise_mean2) / cfg.env.conc_peak
+            d_pt = jnp.sqrt(jnp.maximum(
+                -2.0 * cfg.env.plume_sigma**2 * jnp.log(
+                    jnp.maximum(cn, 1e-6)), 0.0))
+            have = cn >= gcfg.point_floor
             rec = dict(se=se, n_eff=n_eff, ok=ok_base & xok,
                        ok_base=ok_base, xok=xok, hover=gs2.mode == 1,
-                       est=est, count=gs2.count, committed=gs2.committed)
+                       est=est, count=gs2.count, committed=gs2.committed,
+                       probe=have & (d_pt >= gcfg.probe_in_min),
+                       rally=~have, d_pt=d_pt)
             return gs2, rec
         pos = ep_traj[:, :2]
         conc = jnp.nan_to_num(ep_traj[:, 2])
@@ -159,6 +169,20 @@ def main():
     print("\n-- end causes (latch arm) --")
     stat(crossed & f_commit, "crossed after COMMIT (dive)")
     stat(crossed & ~f_commit & hov_end, "crossed in hover (accident)")
+    acc = crossed & ~f_commit & hov_end
+    # classify the accident's FINAL step by the branch that chose it:
+    # the recorded fields are at the landing step; the branch that moved
+    # there is the previous step's
+    prev = np.maximum(last - 1, 0)
+    a_probe = recs["probe"][ar, prev]
+    a_rally = recs["rally"][ar, prev]
+    stat(acc & a_probe, "  accident via in-probe (spike-baited)")
+    stat(acc & a_rally, "  accident via rally (no trusted read)")
+    stat(acc & ~a_probe & ~a_rally, "  accident via out/bounce step")
+    if acc.sum():
+        print("  d_pt at step before accident: pct[10,50,90] =",
+              np.round(np.percentile(recs["d_pt"][ar, prev][acc],
+                                     [10, 50, 90]), 1))
     stat(crossed & ~f_commit & ~hov_end, "crossed under policy")
     stat(timeout, "timed out")
     c = crossed & f_commit

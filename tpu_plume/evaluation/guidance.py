@@ -167,6 +167,13 @@ class GuideConfig:
     # confident fit ~66 px off the true source).  0 disables.
     phantom_patience: int = 3
     phantom_margin: float = 5.0
+    # minimum commit_age before a crossing may be taken (the first
+    # committed step has age 1, so >= 2 forces one setup step).  Measured
+    # NEGATIVE (64.8 -> 63.5 at warmup 2): immediate dives' lower
+    # conditional (73% vs 84%) reflects where commitment happens, not a
+    # fixable calibration lag — delaying them only adds rim exposure.
+    # Kept as a knob; 0/1 disable.
+    dive_warmup: int = 0
 
 
 _NOISE_STD_FRAC = 0.623  # std of (|N(0,1)| + 0.3 sin*cos + 0.2 U) per unit TI
@@ -642,6 +649,10 @@ def guide_step(
     # ---- est-based lookahead (shared by hold ring and dive) ----------
     commit_age = jnp.where(committed, gs.commit_age + 1, jnp.int32(0))
     take_eff = jnp.float32(gcfg.deep_take)
+    if gcfg.dive_warmup > 0:
+        # no acceptable crossing until the calibration has matured
+        take_eff = jnp.where(
+            commit_age >= gcfg.dive_warmup, take_eff, jnp.float32(-1.0))
     if gcfg.take_relax_age > 0:
         take_eff = jnp.where(
             commit_age >= gcfg.take_relax_age,
