@@ -184,6 +184,22 @@ def test_oracle_phase_avoids_shallow_crossing():
     assert d_after > 50.0
 
 
+def test_oracle_raster_sweeps_without_source():
+    """The raster surveyor is NON-privileged: it reads only pos.  It sweeps
+    +x on even bands, -x on odd bands, and steps +y at row ends."""
+    from tpu_plume.evaluation import make_oracle
+
+    cfg = EnvConfig(plume_sigma=500 / 16)
+    raster = make_oracle("raster", cfg)
+    band = 1.12 * cfg.plume_sigma
+    mid_even = _oracle_state([250.0, 0.5 * band], [999.0, 999.0])
+    assert int(raster(mid_even)) == 3       # sweep right
+    mid_odd = _oracle_state([250.0, 1.5 * band], [999.0, 999.0])
+    assert int(raster(mid_odd)) == 4        # sweep left
+    edge = _oracle_state([495.0, 0.5 * band], [999.0, 999.0])
+    assert int(raster(edge)) == 1           # advance a row
+
+
 def test_oracle_phase_lands_deep_through_real_env():
     """Statistical: the phase oracle's success@40 conditional through the
     real (turbulent) env is ~85%; assert well above the ~33% chord level."""

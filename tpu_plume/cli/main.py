@@ -690,9 +690,14 @@ def build_parser():
 
     sp = sub.add_parser("eval", help="greedy evaluation harness")
     common(sp, None)
-    sp.add_argument("--oracle", choices=["naive", "look1", "phase"],
-                    help="evaluate the scripted privileged teacher instead "
-                         "of a checkpoint (protocol ceiling measurement)")
+    sp.add_argument("--oracle",
+                    choices=["naive", "look1", "phase", "raster"],
+                    help="evaluate a scripted policy instead of a "
+                         "checkpoint: naive/look1/phase are privileged "
+                         "teachers (protocol ceiling measurement); raster "
+                         "is a non-privileged boustrophedon surveyor "
+                         "(compose with --guide fit for the zero-learned-"
+                         "components system)")
     sp.add_argument("--stop", choices=["none", "heuristic", "threshold", "peakstop"],
                     default="none")
     sp.add_argument("--lstm-ckpt")

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from tpu_plume.core.config import EnvConfig
 
-ORACLE_KINDS = ("naive", "look1", "phase")
+ORACLE_KINDS = ("naive", "look1", "phase", "raster")
 
 
 def make_oracle(
@@ -45,6 +45,12 @@ def make_oracle(
     phase  — look1 + approach-phase control: when every crossing action
              would land shallow, take the non-crossing action whose NEXT
              step can land deepest (2-step greedy).
+    raster — NON-privileged boustrophedon surveyor (reads only the agent's
+             own position, never the source): sweep rows of pitch ~1.1
+             sigma.  By itself it only crosses the goal ball on a chord;
+             composed with the terminal guide (``eval --oracle raster
+             --guide fit``) it demonstrates the full search->localize->
+             dive system with zero learned components.
 
     ``terminate_radius=None`` (default) reads the EPISODE's own radius
     from ``state.radius`` — under curriculum training the terminate ball
@@ -74,6 +80,21 @@ def make_oracle(
     deltas = jnp.array(
         [[0.0, 0.0], [0.0, m], [0.0, -m], [m, 0.0], [-m, 0.0]], jnp.float32
     )
+
+    if kind == "raster":
+        g = float(cfg.grid_size)
+        band_h = 1.12 * float(cfg.plume_sigma)
+
+        def act_raster(state) -> jnp.ndarray:
+            x, y = state.pos[0], state.pos[1]
+            band = jnp.floor(y / band_h).astype(jnp.int32)
+            going_right = band % 2 == 0
+            turn = jnp.where(going_right, x >= g - 1.2 * m, x <= 1.2 * m)
+            return jnp.where(
+                turn, 1, jnp.where(going_right, 3, 4)
+            ).astype(jnp.int32)
+
+        return act_raster
 
     def act(state) -> jnp.ndarray:
         tr, success_r, target_d = _geometry(state)
