@@ -254,9 +254,12 @@ def test_make_guide_gates_unsupported_models():
     import pytest
 
     with pytest.raises(ValueError):
-        make_guide(EnvConfig(plume_model="anisotropic"))
+        make_guide(EnvConfig(plume_model="gridded"))
     with pytest.raises(ValueError):
         make_guide(dataclasses.replace(EnvConfig(), env_3d=True))
+    # anisotropic now dispatches to the Gauss-Newton model fit
+    init, step = make_guide(EnvConfig(plume_model="anisotropic"))
+    assert init is not None and callable(step)
 
 
 def test_derived_config_matches_tuned_at_v2_0_physics():

@@ -100,8 +100,10 @@ def test_learned_guided_eval_end_to_end_anisotropic():
     import pytest
 
     cfg = EnvConfig(max_steps=400, plume_model="anisotropic")
+    # anisotropic now has a closed-form route too (aniso_fit); the field
+    # with NO analytic model — gridded — still requires the learned guide
     with pytest.raises(ValueError):
-        make_guide(cfg)  # the closed-form guide cannot do this field
+        make_guide(EnvConfig(plume_model="gridded"))
 
     # scripted east-sweep surveyor (same trick as test_guidance)
     def apply_fn(params, obs):

@@ -1,0 +1,345 @@
+"""Model-based terminal guidance for ANISOTROPIC plumes: an in-scan
+Gauss-Newton fit of (source_x, source_y, wind_angle) against the agent's
+own concentration samples, driving the shared crossing-phase controller.
+
+Why this exists (measured, RESULTS.md round 3): on the wrf_les physics
+(sigma_y = 0.3 d^0.71 dispersion downwind of a per-episode random wind)
+the isotropic trilateration guide is invalid — the concentration at a
+point depends on the direction to the source, so no pointwise
+conc -> radius inversion exists.  The learned-localizer route works but
+its precision plateaus at ~22 px median regardless of training data
+distribution (the localizer-DAgger study), an order of magnitude short of
+the isotropic fit's 3-6 px.  The plume model itself, however, is known in
+closed form with THREE unknowns — source position and wind direction
+(wind speed cancels: the kernel depends only on the unit vector,
+fields/analytic.py:200-223) — so the same "field knowledge the
+reference's own evaluators already assume" (PPOV1.1/evaluate_model.py:
+25-37 gates on the known peak) supports an exact nonlinear fit:
+
+  minimize_{s, theta}  sum_i w_i (kernel(p_i; s, theta) - c_i)^2
+
+over the flight's accepted samples.  The additive turbulence is
+homoscedastic (std 0.623*TI), so plain least squares in linear
+concentration space is the right estimator.  The landscape is multimodal
+in theta, so the solve multi-starts a fixed fan of wind angles (each
+initialized one plume-length upwind of the strongest sample) and keeps
+the best final loss — fixed iteration counts, fully jittable and
+vmappable across eval episodes.
+
+Validation mirrors the trilateration guide: a posterior worst-direction
+standard error of the source block gates steering (offline on 500 saved
+wrf flights: se <= 4 px selects 25.8% of flights at 2.0 px MEDIAN source
+error — sharper than the isotropic trilateration's 3-6 px, because the
+narrow ridge pins the crosswind coordinate exponentially), and the
+round-3 dive-commitment latch and phantom-estimate refutation carry over
+unchanged.
+
+TPU-native: fixed-size ring buffer in the scan carry, a fixed
+starts x iterations Gauss-Newton ladder on a 3-vector with a closed-form
+3x3 adjugate solve — no data-dependent shapes or host control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpu_plume.core.config import EnvConfig
+from tpu_plume.evaluation.guidance import _NOISE_STD_FRAC, phase_action
+from tpu_plume.fields.analytic import _aniso_kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class AnisoGuideConfig:
+    buffer_size: int = 128
+    # accept debiased conc/peak in [floor, ceil] (same SNR reasoning as
+    # GuideConfig.conc_floor; ceil rejects the clipped near-source reads)
+    conc_floor: float = 0.03
+    conc_ceil: float = 0.98
+    min_samples: int = 8
+    # posterior worst-direction standard error (px) of the source block the
+    # fit must reach before steering.  Offline calibration on 500 saved wrf
+    # flights (unguided tails, ring-buffer semantics): se<=4 selects 25.8%
+    # of flights at 2.0 px MEDIAN / 8.2 px p90 source error — sharper than
+    # the isotropic trilateration's 3-6 px class.
+    max_se: float = 4.0
+    # Gauss-Newton ladder: damping anneals geometrically damping ->
+    # damping_final across the iterations (heavy early steps are guarded,
+    # the valley floor converges: fixed 1e-2 stalls ~15 px from the
+    # optimum on noiseless data, 1e-4 lands it exactly)
+    n_theta: int = 8         # wind-angle multi-starts
+    gn_iters: int = 16       # damped GN iterations per start
+    damping: float = 1e-2
+    damping_final: float = 1e-4
+    upwind_init: float = 60.0  # initial source offset upwind of the
+    #                            strongest sample (> terminate radius)
+    # dive geometry (same derivation as the other guides)
+    terminate_radius: float = 50.0
+    deep_target: float = 30.0
+    deep_take: float = 34.0
+    setup_distance: float = 54.0
+    # dive-commitment latch + phantom refutation (guidance.py round 3)
+    commit_on_ok: bool = True
+    phantom_patience: int = 3
+    phantom_margin: float = 5.0
+
+
+@struct.dataclass
+class AnisoGuideState:
+    pos_buf: jnp.ndarray   # f32[K, 2] accepted sample positions
+    c_buf: jnp.ndarray     # f32[K] debiased conc_n
+    w_buf: jnp.ndarray     # f32[K] weights (0 = empty slot)
+    count: jnp.ndarray     # i32 accepted samples (monotonic)
+    est: jnp.ndarray       # f32[2] current fit
+    theta: jnp.ndarray     # f32 fitted wind angle
+    est_ok: jnp.ndarray    # bool: se gate open this step
+    committed: jnp.ndarray   # bool: dive commitment latched
+    est_good: jnp.ndarray    # f32[2] freshest validated fix
+    commit_age: jnp.ndarray  # i32
+    phantom_count: jnp.ndarray  # i32
+    mode: jnp.ndarray      # i32 1 while overriding (diagnostics parity)
+
+
+def _inv3(a: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate/det) — avoids batched LU under
+    vmap inside the eval scan."""
+    c00 = a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]
+    c01 = a[0, 2] * a[2, 1] - a[0, 1] * a[2, 2]
+    c02 = a[0, 1] * a[1, 2] - a[0, 2] * a[1, 1]
+    c10 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
+    c11 = a[0, 0] * a[2, 2] - a[0, 2] * a[2, 0]
+    c12 = a[0, 2] * a[1, 0] - a[0, 0] * a[1, 2]
+    c20 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
+    c21 = a[0, 1] * a[2, 0] - a[0, 0] * a[2, 1]
+    c22 = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+    det = a[0, 0] * c00 + a[0, 1] * c10 + a[0, 2] * c20
+    adj = jnp.array([[c00, c01, c02], [c10, c11, c12], [c20, c21, c22]])
+    return adj / (det + 1e-12)
+
+
+def make_model_n(cfg: EnvConfig):
+    """Normalized anisotropic forward model c/peak at positions [K, 2] for
+    source s [2] and wind angle theta — exactly fields/analytic._aniso_kernel
+    with a unit wind vector (the kernel is speed-invariant)."""
+
+    def model_n(pos, s, theta):
+        u = jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+        return _aniso_kernel(s, u, pos[:, 0], pos[:, 1], cfg) / cfg.conc_peak
+
+    return model_n
+
+
+def fit_aniso(pos, c, w, cfg: EnvConfig, gcfg: AnisoGuideConfig):
+    """Multi-start damped Gauss-Newton fit over the sample buffer.
+
+    Returns (est [2], theta, se, n_eff): the best-loss solution across
+    ``n_theta`` wind-angle starts and its posterior worst-direction
+    standard error (px) of the source block.
+    """
+    model_n = make_model_n(cfg)
+    sw = jnp.sqrt(w)
+
+    def residual(params):
+        return (model_n(pos, params[:2], params[2]) - c) * sw
+
+    jac = jax.jacfwd(residual)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    n_it = gcfg.gn_iters
+    lam_sched = gcfg.damping * (gcfg.damping_final / gcfg.damping) ** (
+        jnp.arange(n_it, dtype=jnp.float32) / max(n_it - 1, 1)
+    )
+
+    def gn_step(params, lam):
+        r = residual(params)
+        j = jac(params)                     # [K, 3]
+        a = j.T @ j + lam * eye
+        g = j.T @ r
+        return params - _inv3(a) @ g, None
+
+    i_max = jnp.argmax(jnp.where(w > 0, c, -1.0))
+    p_star = pos[i_max]
+
+    def run_start(theta0):
+        s0 = p_star - gcfg.upwind_init * jnp.stack(
+            [jnp.cos(theta0), jnp.sin(theta0)]
+        )
+        params0 = jnp.concatenate([s0, theta0[None]])
+        params, _ = jax.lax.scan(gn_step, params0, lam_sched)
+        return params, (residual(params) ** 2).sum()
+
+    thetas = (2.0 * jnp.pi / gcfg.n_theta) * jnp.arange(
+        gcfg.n_theta, dtype=jnp.float32
+    )
+    all_params, all_loss = jax.vmap(run_start)(thetas)
+    best = jnp.argmin(all_loss)
+    params = all_params[best]
+
+    # posterior: sigma0 = weighted mean squared residual, FLOORED at the
+    # known turbulence noise variance (a handful of co-located samples fit
+    # exactly — residual-only sigma0 would validate unidentified geometry;
+    # the posterior can never be tighter than the measurement noise);
+    # worst-direction variance of the source block from the 3x3
+    # information inverse
+    j = jac(params)
+    a = j.T @ j
+    r = residual(params)
+    n_eff = (w > 0).sum()
+    noise_n = _NOISE_STD_FRAC * cfg.turbulence_intensity / cfg.conc_peak
+    sigma0 = jnp.maximum(
+        (r**2).sum() / jnp.maximum(n_eff.astype(jnp.float32), 1.0),
+        noise_n**2,
+    )
+    # worst-direction source variance = sigma0 / lam_min(S) with S the
+    # Schur complement of the wind-angle block — computed directly (NOT
+    # via _inv3, whose det guard silently CLIPS the inverse of a singular
+    # information matrix and would validate co-located samples)
+    a_tt = jnp.maximum(a[2, 2], 1e-12)
+    s2 = a[:2, :2] - jnp.outer(a[:2, 2], a[2, :2]) / a_tt
+    tr = s2[0, 0] + s2[1, 1]
+    det = s2[0, 0] * s2[1, 1] - s2[0, 1] * s2[1, 0]
+    lam_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr**2 - 4.0 * det, 0.0)))
+    se = jnp.sqrt(sigma0 / jnp.maximum(lam_min, 1e-9))
+    return params[:2], params[2], se, n_eff
+
+
+def derive_aniso_config(
+    cfg: EnvConfig,
+    terminate_radius: float = 50.0,
+    success_radius: float = 40.0,
+) -> AnisoGuideConfig:
+    """Thresholds from the field physics + protocol (mirrors
+    guidance.derive_guide_config's geometry; the se gate is calibrated
+    offline against saved flights rather than propagated analytically —
+    the nonlinear fit has no closed-form error model)."""
+    noise_n = _NOISE_STD_FRAC * cfg.turbulence_intensity / cfg.conc_peak
+    move = cfg.grid_size * cfg.move_frac
+    deep = min(success_radius - 10.0, 0.8 * terminate_radius)
+    return AnisoGuideConfig(
+        conc_floor=1.6 * noise_n,
+        terminate_radius=terminate_radius,
+        deep_target=deep,
+        deep_take=min(success_radius - 6.0, 0.9 * terminate_radius),
+        setup_distance=deep + move - 1.0,
+        upwind_init=terminate_radius + 10.0,
+    )
+
+
+def make_aniso_guide(
+    cfg: EnvConfig,
+    gcfg: AnisoGuideConfig | None = None,
+    terminate_radius: float | None = None,
+    success_radius: float = 40.0,
+):
+    """(init_state, step_fn) pair for ``evaluate_policy``'s guide hook.
+
+    No hover FSM: the anisotropic plume has no pointwise distance
+    inversion to drive a safe bounce pattern, so the policy keeps flying
+    (its natural crosswind wandering supplies sample diversity) and the
+    guide takes over only once the model fit validates — the same
+    integration shape as the learned-localizer guide.
+    """
+    if cfg.env_3d:
+        raise ValueError("aniso-fit guidance is 2-D (planimetric) only")
+    if cfg.plume_model != "anisotropic":
+        raise ValueError(
+            f"make_aniso_guide requires plume_model='anisotropic', got "
+            f"{cfg.plume_model!r}"
+        )
+    if cfg.num_sources != 1:
+        raise ValueError("the 3-parameter fit assumes a single source")
+    if gcfg is None:
+        gcfg = derive_aniso_config(
+            cfg,
+            terminate_radius=(50.0 if terminate_radius is None
+                              else terminate_radius),
+            success_radius=success_radius,
+        )
+    noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
+
+    def init() -> AnisoGuideState:
+        k = gcfg.buffer_size
+        z = jnp.zeros((), jnp.float32)
+        zi = jnp.zeros((), jnp.int32)
+        zb = jnp.zeros((), bool)
+        return AnisoGuideState(
+            pos_buf=jnp.zeros((k, 2), jnp.float32),
+            c_buf=jnp.zeros((k,), jnp.float32),
+            w_buf=jnp.zeros((k,), jnp.float32),
+            count=zi,
+            est=jnp.zeros((2,), jnp.float32),
+            theta=z,
+            est_ok=zb,
+            committed=zb,
+            est_good=jnp.zeros((2,), jnp.float32),
+            commit_age=zi,
+            phantom_count=zi,
+            mode=zi,
+        )
+
+    def step(gs: AnisoGuideState, pos, conc, policy_action):
+        conc_n = (conc - noise_mean) / cfg.conc_peak
+        accept = (conc_n >= gcfg.conc_floor) & (conc_n <= gcfg.conc_ceil)
+        idx = gs.count % gcfg.buffer_size
+        slot = jnp.arange(gcfg.buffer_size) == idx
+        write = slot & accept
+        gs = gs.replace(
+            pos_buf=jnp.where(write[:, None], pos[None, :2], gs.pos_buf),
+            c_buf=jnp.where(write, conc_n, gs.c_buf),
+            w_buf=jnp.where(write, 1.0, gs.w_buf),
+            count=gs.count + accept.astype(jnp.int32),
+        )
+        est, theta, se, n_eff = fit_aniso(
+            gs.pos_buf, gs.c_buf, gs.w_buf, cfg, gcfg
+        )
+        ok = (n_eff >= gcfg.min_samples) & (se <= gcfg.max_se)
+
+        commit_now = ok if gcfg.commit_on_ok else jnp.zeros((), bool)
+        committed = gs.committed | commit_now
+        est_good = jnp.where(ok, est, gs.est_good)
+        est_used = jnp.where(ok, est, est_good)
+        steer = ok | committed
+
+        # phantom-estimate refutation (guidance.py round 3: alive inside
+        # the estimated terminate ball = the environment refuted the fit)
+        refuted = jnp.zeros((), bool)
+        phantom_count = jnp.zeros_like(gs.phantom_count)
+        if gcfg.phantom_patience > 0:
+            d_here = jnp.linalg.norm(pos[:2] - est_used)
+            phantom = committed & (
+                d_here <= gcfg.terminate_radius - gcfg.phantom_margin
+            )
+            phantom_count = jnp.where(
+                phantom, gs.phantom_count + 1, jnp.int32(0)
+            )
+            refuted = phantom_count >= gcfg.phantom_patience
+            committed = committed & ~refuted
+        steer = steer & ~refuted
+        commit_age = jnp.where(committed, gs.commit_age + 1, jnp.int32(0))
+
+        g_action = phase_action(
+            pos[:2], est_used, cfg,
+            gcfg.terminate_radius, gcfg.deep_target, gcfg.setup_distance,
+            deep_take=gcfg.deep_take,
+        )
+        action = jnp.where(steer, g_action, policy_action).astype(
+            policy_action.dtype
+        )
+        gs = gs.replace(
+            est=est,
+            theta=theta,
+            est_ok=ok,
+            committed=committed,
+            est_good=est_good,
+            commit_age=commit_age,
+            phantom_count=phantom_count,
+            mode=steer.astype(jnp.int32),
+            # a refuted fit's samples are wiped so the fit restarts
+            w_buf=jnp.where(refuted, jnp.zeros_like(gs.w_buf), gs.w_buf),
+        )
+        return gs, action, steer
+
+    return init(), step

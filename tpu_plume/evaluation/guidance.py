@@ -733,15 +733,26 @@ def make_guide(
     tuned constants are not silently applied to another's physics.
 
     Supported field models: the analytic isotropic Gaussian (the
-    radial-symmetric inversion).  Anisotropic / gridded banks would need a
-    different forward model — the learned route for those is the V2.1
-    ``GaussianParamPredictor`` zoo head (``--guide learned``)."""
+    radial-symmetric inversion here) and the analytic anisotropic
+    dispersion (dispatched to ``aniso_fit.make_aniso_guide`` — a
+    Gauss-Newton fit of the known 3-parameter kernel).  Gridded banks have
+    no closed-form model — their route is the learned localizer
+    (``--guide learned``)."""
     if cfg.env_3d:
         raise ValueError("terminal guidance is 2-D (planimetric) only")
+    if cfg.plume_model == "anisotropic":
+        from tpu_plume.evaluation.aniso_fit import make_aniso_guide
+
+        return make_aniso_guide(
+            cfg,
+            terminate_radius=terminate_radius,
+            success_radius=success_radius,
+        )
     if cfg.plume_model != "isotropic":
         raise ValueError(
-            "trilateration guidance inverts the isotropic analytic plume; "
-            f"plume_model={cfg.plume_model!r} is not supported"
+            "model-based guidance needs an analytic plume model; "
+            f"plume_model={cfg.plume_model!r} is not supported — use the "
+            "learned localizer route (--guide learned)"
         )
     if gcfg is None:
         gcfg = derive_guide_config(
