@@ -331,6 +331,7 @@ def cmd_eval(args):
             cfg.env,
             terminate_radius=args.goal_radius,
             success_radius=cfg.eval.success_distance,
+            max_se=args.guide_max_se,
         )
     elif args.guide == "learned":
         import jax.numpy as jnp
@@ -741,6 +742,10 @@ def build_parser():
                          "whose episodes terminate in <100 steps)")
     sp.add_argument("--guide-check-every", type=int, default=8,
                     help="steps between learned-localizer stability checks")
+    sp.add_argument("--guide-max-se", type=float, default=None,
+                    help="override the --guide fit validation gate "
+                         "(posterior worst-direction standard error, px): "
+                         "higher = steer more episodes on looser fits")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("expert", help="generate expert demonstrations")

@@ -725,12 +725,15 @@ def make_guide(
     gcfg: GuideConfig | None = None,
     terminate_radius: float | None = None,
     success_radius: float = 40.0,
+    max_se: float | None = None,
 ):
     """(init_state, step_fn) pair for evaluate_policy's guide hook.
 
     With ``gcfg=None`` the thresholds are DERIVED from the env physics via
     ``derive_guide_config`` (sigma/TI/peak/move/terminator) — one preset's
     tuned constants are not silently applied to another's physics.
+    ``max_se`` overrides the derived validation gate (the CLI's
+    ``--guide-max-se``: trade steer coverage against estimate precision).
 
     Supported field models: the analytic isotropic Gaussian (the
     radial-symmetric inversion here) and the analytic anisotropic
@@ -741,13 +744,19 @@ def make_guide(
     if cfg.env_3d:
         raise ValueError("terminal guidance is 2-D (planimetric) only")
     if cfg.plume_model == "anisotropic":
-        from tpu_plume.evaluation.aniso_fit import make_aniso_guide
+        from tpu_plume.evaluation.aniso_fit import (
+            derive_aniso_config,
+            make_aniso_guide,
+        )
 
-        return make_aniso_guide(
+        agcfg = derive_aniso_config(
             cfg,
-            terminate_radius=terminate_radius,
+            terminate_radius=50.0 if terminate_radius is None else terminate_radius,
             success_radius=success_radius,
         )
+        if max_se is not None:
+            agcfg = dataclasses.replace(agcfg, max_se=max_se)
+        return make_aniso_guide(cfg, agcfg)
     if cfg.plume_model != "isotropic":
         raise ValueError(
             "model-based guidance needs an analytic plume model; "
@@ -760,6 +769,8 @@ def make_guide(
             terminate_radius=50.0 if terminate_radius is None else terminate_radius,
             success_radius=success_radius,
         )
+        if max_se is not None:
+            gcfg = dataclasses.replace(gcfg, max_se=max_se)
     return (
         guide_init(gcfg),
         lambda gs, pos, conc, act: guide_step(gs, pos, conc, act, cfg, gcfg),
