@@ -187,3 +187,23 @@ def test_cli_eval_oracle_ceiling(tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["success_rate"] >= 0.6
     assert summary["mean_steps"] < 200
+
+
+def test_cli_wrf_aniso_guide_eval(tmp_path, capsys):
+    """--guide fit on the anisotropic preset dispatches to the Gauss-Newton
+    model fit (evaluation/aniso_fit.py) through the CLI, incl. the
+    --guide-max-se gate override."""
+    out_dir = str(tmp_path / "run")
+    main([
+        "train", "--preset", "wrf_les", "--out", out_dir,
+        "--envs", "8", "--unroll", "16", "--minibatch", "64",
+        "--iterations", "1", "--episodes", "100000",
+    ])
+    capsys.readouterr()
+    main([
+        "eval", "--preset", "wrf_les",
+        "--ckpt", os.path.join(out_dir, "checkpoint"),
+        "--episodes", "4", "--guide", "fit", "--guide-max-se", "6",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "success_rate" in summary and "mean_deviation" in summary
