@@ -371,3 +371,31 @@ def test_delta_reward_variant():
     np.testing.assert_allclose(
         float(tr_turn.info.move_penalty), -delta.readme_turn_penalty / 2, atol=1e-6
     )
+
+
+def test_inplume_bonus():
+    """inplume_bonus pays exactly the bonus per step while conc/peak is
+    above the floor, under the delta reward (off by default — parity)."""
+    import dataclasses
+
+    base = EnvConfig(
+        turbulence_intensity=1e-6, reward_variant="delta",
+    )
+    shaped = dataclasses.replace(base, inplume_bonus=0.25)
+    state, _ = methane.reset(jax.random.PRNGKey(0), base)
+    src = state.field.source
+    zero = jnp.zeros(2, jnp.float32)
+    # deep in the plume (conc ~ peak): bonus paid
+    state_in = state.replace(pos=src + jnp.array([60.0, 0.0]),
+                             radius=jnp.float32(50.0))
+    _, tr_b = methane.step_noise(state_in, jnp.int32(0), zero, base)
+    _, tr_s = methane.step_noise(state_in, jnp.int32(0), zero, shaped)
+    np.testing.assert_allclose(float(tr_s.reward - tr_b.reward), 0.25,
+                               rtol=1e-5)
+    # far field (conc ~ 0): no bonus
+    far = jnp.where(src < 250.0, src + 200.0, src - 200.0)
+    state_out = state.replace(pos=far, radius=jnp.float32(50.0))
+    _, tr_b2 = methane.step_noise(state_out, jnp.int32(0), zero, base)
+    _, tr_s2 = methane.step_noise(state_out, jnp.int32(0), zero, shaped)
+    np.testing.assert_allclose(float(tr_s2.reward), float(tr_b2.reward),
+                               rtol=1e-6)

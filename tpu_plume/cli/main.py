@@ -77,6 +77,10 @@ def _apply_overrides(cfg, args):
         cfg = cfg.replace(
             env=dataclasses.replace(cfg.env, reward_variant=args.reward)
         )
+    if getattr(args, "inplume_bonus", None):
+        cfg = cfg.replace(
+            env=dataclasses.replace(cfg.env, inplume_bonus=args.inplume_bonus)
+        )
     if getattr(args, "min_radius", None) is not None:
         cfg = cfg.replace(
             curriculum=dataclasses.replace(cfg.curriculum, min_radius=args.min_radius)
@@ -586,6 +590,12 @@ def build_parser():
                         help="append [dconc, prev-action one-hot] to the obs "
                              "(run-and-tumble chemotaxis; off = reference "
                              "parity)")
+        sp.add_argument("--inplume-bonus", type=float,
+                        help="per-step bonus while conc/peak >= 0.06 "
+                             "(EnvConfig.inplume_bonus): trains contact-"
+                             "riding so the model-fit guide gets samples "
+                             "on narrow anisotropic ridges; default 0 = "
+                             "reference parity")
         sp.add_argument("--distill", choices=["naive", "look1", "phase"],
                         help="distilled PPO: a scripted privileged teacher "
                              "labels every rollout state on device and the "

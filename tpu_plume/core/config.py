@@ -138,6 +138,17 @@ class EnvConfig:
     reward_variant: str = "v1_1"
     readme_turn_penalty: float = 0.2
     conc_reward_coef: float = 2.0
+    # Per-step bonus while the raw normalized concentration (conc/peak) is
+    # above inplume_conc_floor — 0.06 raw ~ the model-fit guide's debiased
+    # 0.03 sample-acceptance floor.  0 disables (default — the reference
+    # has no such term).  Motivation, measured (RESULTS.md round 3, wrf
+    # guided loss pool): the delta reward pays for concentration CHANGES,
+    # so riding the plume earns nothing and the policy crosses the ~10-px
+    # wrf ridge in 1-2 steps — 46.5% of guided episodes fail with a median
+    # of FIVE usable samples.  This knob trains contact-riding: more
+    # accepted samples -> more validated fits.
+    inplume_bonus: float = 0.0
+    inplume_conc_floor: float = 0.06
     move_penalty_coef: float = 0.15
     tke_penalty_factor: float = 0.4
     boundary_penalty: float = 0.1

@@ -320,6 +320,13 @@ def step_noise(
         # reward the concentration *change* (gradient ascent), penalize
         # heading changes by (1−cosΔθ)/2 ∈ {0, ½, 1} for axis actions.
         conc_reward = cfg.conc_reward_coef * (cur_conc_n - prev_conc_n)
+        if cfg.inplume_bonus > 0.0:
+            # contact-riding shaping (EnvConfig.inplume_bonus): the delta
+            # term is zero while HOLDING plume contact, which starves the
+            # model-fit guide of samples on narrow anisotropic ridges
+            conc_reward = conc_reward + cfg.inplume_bonus * (
+                cur_conc_n >= cfg.inplume_conc_floor
+            )
         d_prev = _action_delta(state.prev_action, cfg)
         dot = jnp.sum(d_prev * delta)
         norms = jnp.linalg.norm(d_prev) * delta_norm
