@@ -42,7 +42,6 @@ starts x iterations Gauss-Newton ladder on a 3-vector with a closed-form
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp
@@ -255,13 +254,19 @@ def derive_aniso_config(
     noise_n = _NOISE_STD_FRAC * cfg.turbulence_intensity / cfg.conc_peak
     move = cfg.grid_size * cfg.move_frac
     deep = min(success_radius - 10.0, 0.8 * terminate_radius)
+    # setup ring: the isotropic guide holds deep + move - 1 and relies on
+    # its pointwise radial CALIBRATION to keep estimate bias from dragging
+    # the ring inside the terminator; no pointwise inversion exists here,
+    # so the ring adds a +4 px margin instead (measured: +0.9pp on the
+    # base wrf policy, +1.3pp on the contact-shaped one — the rim-crossing
+    # failure class this protects against is 7-15% of episodes)
     return AnisoGuideConfig(
         conc_floor=1.6 * noise_n,
         enter_weak=2.4 * noise_n,
         terminate_radius=terminate_radius,
         deep_target=deep,
         deep_take=min(success_radius - 6.0, 0.9 * terminate_radius),
-        setup_distance=deep + move - 1.0,
+        setup_distance=deep + move + 3.0,
         upwind_init=terminate_radius + 10.0,
     )
 
