@@ -1,0 +1,61 @@
+"""Closed-loop loss-pool classification for the anisotropic model-fit
+guide: runs a guided eval through the harness and splits episodes by the
+final guide diagnostics (steered vs unsteered, estimate error, accepted
+sample counts) — the measurement behind the round-3 "contact-limited"
+finding and the --inplume-bonus knob (RESULTS.md).
+
+Usage: python scripts/aniso_diag.py [ckpt_dir] [episodes]
+"""
+import sys
+
+sys.path.insert(0, ".")
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_plume.core.config import get_preset
+from tpu_plume.data.checkpoint import restore_checkpoint
+from tpu_plume.evaluation import evaluate_policy
+from tpu_plume.evaluation.guidance import make_guide
+from tpu_plume.models import ActorCritic
+
+CKPT = sys.argv[1] if len(sys.argv) > 1 else "/root/runs/r3s_wrf/checkpoint"
+EPISODES = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+
+cfg = get_preset("wrf_les")
+env = dataclasses.replace(cfg.env, reward_variant="delta", obs_memory=True)
+params = jax.tree.map(jnp.asarray, restore_checkpoint(CKPT)["params"])
+model = ActorCritic(num_actions=env.num_actions)
+ev = dataclasses.replace(cfg.eval, episodes=EPISODES)
+m = evaluate_policy(params, model.apply, env, ev, jax.random.PRNGKey(0),
+                    num_episodes=EPISODES, greedy=True, guide=make_guide(env))
+
+succ = m.success
+steered = m.guide_hover  # final-step overriding flag
+est_err = np.linalg.norm(m.guide_est - m.sources, axis=-1)
+print(f"success {succ.mean():.3f}  steered-at-end {steered.mean():.3f}  "
+      f"fit_ok-at-end {m.guide_fit_ok.mean():.3f}")
+for name, mask in [("steered", steered), ("unsteered", ~steered)]:
+    if mask.sum() == 0:
+        continue
+    print(f"{name}: {mask.mean():6.2%} of eps | success {succ[mask].mean():.3f}"
+          f" | est err med {np.median(est_err[mask]):6.1f} px | samples med "
+          f"{np.median(m.guide_samples[mask]):4.0f} | steps "
+          f"{m.steps[mask].mean():5.0f}")
+fail = ~succ
+um = ~steered & fail
+print(f"unsteered failures: {um.mean():.2%} of all — samples med "
+      f"{np.median(m.guide_samples[um]) if um.sum() else 0:.0f}, timeout "
+      f"frac {(m.steps[um] >= env.max_steps - 1).mean() if um.sum() else 0:.2%}")
+sm = steered & fail
+if sm.sum():
+    print(f"steered failures: {sm.mean():.2%} of all — est err med "
+          f"{np.median(est_err[sm]):.1f} px, dev med "
+          f"{np.median(m.deviations[sm]):.0f}")
+hist = (np.histogram(m.guide_samples[um],
+                     bins=[0, 1, 4, 8, 16, 32, 64, 10**6])[0]
+        if um.sum() else [])
+print("unsteered-failure sample-count histogram [0,1,4,8,16,32,64,inf):", hist)
