@@ -4,7 +4,7 @@ final guide diagnostics (steered vs unsteered, estimate error, accepted
 sample counts) — the measurement behind the round-3 "contact-limited"
 finding and the --inplume-bonus knob (RESULTS.md).
 
-Usage: python scripts/aniso_diag.py [ckpt_dir] [episodes]
+Usage: python scripts/aniso_diag.py [ckpt_dir] [episodes] [goal_radius]
 """
 import sys
 
@@ -24,6 +24,7 @@ from tpu_plume.models import ActorCritic
 
 CKPT = sys.argv[1] if len(sys.argv) > 1 else "/root/runs/r3s_wrf/checkpoint"
 EPISODES = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+GOAL_R = float(sys.argv[3]) if len(sys.argv) > 3 else None
 
 cfg = get_preset("wrf_les")
 env = dataclasses.replace(cfg.env, reward_variant="delta", obs_memory=True)
@@ -31,8 +32,13 @@ params = jax.tree.map(jnp.asarray, restore_checkpoint(CKPT)["params"])
 model = ActorCritic(num_actions=env.num_actions)
 ev = dataclasses.replace(cfg.eval, episodes=EPISODES)
 m = evaluate_policy(params, model.apply, env, ev, jax.random.PRNGKey(0),
-                    num_episodes=EPISODES, greedy=True, guide=make_guide(env))
+                    num_episodes=EPISODES, greedy=True, goal_radius=GOAL_R,
+                    guide=make_guide(env, terminate_radius=GOAL_R))
 
+if GOAL_R is not None:
+    print(f"goal_radius {GOAL_R}: bullseye "
+          f"{(m.deviations <= GOAL_R).mean():.3f}, timeouts "
+          f"{(m.steps >= env.max_steps - 1).mean():.3f}")
 succ = m.success
 steered = m.guide_hover  # final-step overriding flag
 est_err = np.linalg.norm(m.guide_est - m.sources, axis=-1)

@@ -86,6 +86,18 @@ class AnisoGuideConfig:
     commit_on_ok: bool = True
     phantom_patience: int = 3
     phantom_margin: float = 5.0
+    # after a refutation, new fits landing within this radius of the
+    # refuted center are rejected (no steering): the environment proved
+    # that ball source-free, and a deterministic refit on similar samples
+    # otherwise re-selects the same wrong theta mode and orbits again
+    # (measured on the radius-5 protocol: 20-25% of episodes timed out on
+    # confident ~110-160-px-off fits before the ban)
+    phantom_ban_radius: float = 15.0
+    # the wrong-theta solution family is a CONTINUUM along the ridge, so
+    # a local ban only shifts the phantom; after this many refutations the
+    # guide concedes the episode to the policy (which is itself a ~60%
+    # precision diver) instead of orbiting to timeout.  <= 0 disables.
+    phantom_max_refutes: int = 3
     # --- crosswind transect active sensing (the anisotropic analog of the
     # isotropic hover bounce).  The plume is a narrow ridge along the wind:
     # once a strong read engages the mode, the guide zigzags PERPENDICULAR
@@ -138,6 +150,9 @@ class AnisoGuideState:
     tr_age: jnp.ndarray    # i32 total sensing steps taken
     tr_spent: jnp.ndarray  # bool: sensing budget exhausted (one-shot)
     drift: jnp.ndarray     # i32 pending downwind drift steps
+    bad_est: jnp.ndarray   # f32[2] last refuted (environment-falsified) center
+    have_bad: jnp.ndarray  # bool: bad_est is live
+    refutes: jnp.ndarray   # i32 refutations this episode
 
 
 def _inv3(a: jnp.ndarray) -> jnp.ndarray:
@@ -259,14 +274,20 @@ def derive_aniso_config(
     # the ring inside the terminator; no pointwise inversion exists here,
     # so the ring adds a +4 px margin instead (measured: +0.9pp on the
     # base wrf policy, +1.3pp on the contact-shaped one — the rim-crossing
-    # failure class this protects against is 7-15% of episodes)
+    # failure class this protects against is 7-15% of episodes).  The ring
+    # must stay DIVEABLE: a radial step from setup lands at setup - move,
+    # which has to clear the take band or clean dives cannot exist (at
+    # terminate_radius 5 an uncapped +4 margin put the ring at 32 — a
+    # 25-px radial step lands at 7, outside the 4.5-px take, and the
+    # controller orbits forever).
+    take = min(success_radius - 6.0, 0.9 * terminate_radius)
     return AnisoGuideConfig(
         conc_floor=1.6 * noise_n,
         enter_weak=2.4 * noise_n,
         terminate_radius=terminate_radius,
         deep_target=deep,
-        deep_take=min(success_radius - 6.0, 0.9 * terminate_radius),
-        setup_distance=deep + move + 3.0,
+        deep_take=take,
+        setup_distance=move + min(deep + 3.0, take - 1.0),
         upwind_init=terminate_radius + 10.0,
     )
 
@@ -328,6 +349,9 @@ def make_aniso_guide(
             tr_age=zi,
             tr_spent=zb,
             drift=zi,
+            bad_est=jnp.zeros((2,), jnp.float32),
+            have_bad=zb,
+            refutes=zi,
         )
 
     def step(gs: AnisoGuideState, pos, conc, policy_action):
@@ -346,6 +370,14 @@ def make_aniso_guide(
             gs.pos_buf, gs.c_buf, gs.w_buf, cfg, gcfg
         )
         ok = (n_eff >= gcfg.min_samples) & (se <= gcfg.max_se)
+        # reject fits inside the environment-falsified ball (see
+        # AnisoGuideConfig.phantom_ban_radius)
+        if gcfg.phantom_ban_radius > 0:
+            ok = ok & ~(
+                gs.have_bad
+                & (jnp.linalg.norm(est - gs.bad_est)
+                   <= gcfg.phantom_ban_radius)
+            )
 
         commit_now = ok if gcfg.commit_on_ok else jnp.zeros((), bool)
         committed = gs.committed | commit_now
@@ -354,20 +386,44 @@ def make_aniso_guide(
         steer = ok | committed
 
         # phantom-estimate refutation (guidance.py round 3: alive inside
-        # the estimated terminate ball = the environment refuted the fit)
+        # the estimated terminate ball = the environment refuted the fit).
+        # Two small-terminator fixes (measured on the radius-5 precision
+        # protocol, where 25% of episodes orbited a confident fit ~157 px
+        # off to timeout): the margin scales with the terminator (a fixed
+        # 5-px margin makes the trigger depth NEGATIVE at radius 5 — the
+        # refutation never fired), and the inside-count is CUMULATIVE
+        # while committed (25-px steps dip in and out of a 5-px ball, so
+        # a consecutive counter never reaches patience).
         refuted = jnp.zeros((), bool)
         phantom_count = jnp.zeros_like(gs.phantom_count)
         if gcfg.phantom_patience > 0:
+            # trigger depth ~ the take band: an est-implied landing inside
+            # the ball that did NOT terminate is one refutation vote.  A
+            # false vote on a true fit is cheap (samples wipe, the fit
+            # re-converges from on-ball samples in ~10-20 steps); a
+            # phantom orbit costs the whole episode.
+            margin_eff = min(
+                gcfg.phantom_margin, 0.1 * gcfg.terminate_radius
+            )
             d_here = jnp.linalg.norm(pos[:2] - est_used)
             phantom = committed & (
-                d_here <= gcfg.terminate_radius - gcfg.phantom_margin
+                d_here <= gcfg.terminate_radius - margin_eff
             )
             phantom_count = jnp.where(
-                phantom, gs.phantom_count + 1, jnp.int32(0)
+                committed,
+                gs.phantom_count + phantom.astype(jnp.int32),
+                jnp.int32(0),
             )
             refuted = phantom_count >= gcfg.phantom_patience
             committed = committed & ~refuted
         steer = steer & ~refuted
+        bad_est = jnp.where(refuted, est_used, gs.bad_est)
+        have_bad = gs.have_bad | refuted
+        refutes = gs.refutes + refuted.astype(jnp.int32)
+        if gcfg.phantom_max_refutes > 0:
+            conceded = refutes >= gcfg.phantom_max_refutes
+            steer = steer & ~conceded
+            committed = committed & ~conceded
         commit_age = jnp.where(committed, gs.commit_age + 1, jnp.int32(0))
 
         g_action = phase_action(
@@ -433,6 +489,9 @@ def make_aniso_guide(
             tr_age=tr_age,
             tr_spent=spent,
             drift=drift,
+            bad_est=bad_est,
+            have_bad=have_bad,
+            refutes=refutes,
             # a refuted fit's samples are wiped so the fit restarts
             w_buf=jnp.where(refuted, jnp.zeros_like(gs.w_buf), gs.w_buf),
         )
