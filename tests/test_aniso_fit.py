@@ -5,10 +5,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from tpu_plume.core.config import EnvConfig, EvalConfig
 from tpu_plume.evaluation import evaluate_policy
 from tpu_plume.evaluation.aniso_fit import (
     AnisoGuideConfig,
+    derive_aniso_config,
     fit_aniso,
     make_aniso_guide,
     make_model_n,
@@ -75,6 +78,87 @@ def test_aniso_guide_step_shapes_and_gating():
     gs, action, overriding = step(gs, pos, jnp.float32(0.0), jnp.int32(2))
     assert int(action) == 2 and not bool(overriding)
     assert int(gs.count) == 0  # sub-floor read not ingested
+
+
+def test_derive_small_terminator_dive_geometry():
+    """The derived dive geometry must stay feasible at ANY terminator
+    (the radius-5 precision protocol found an undiveable setup ring and a
+    never-firing phantom trigger; both are now derivation invariants)."""
+    cfg = _wrf_cfg()
+    move = cfg.grid_size * cfg.move_frac
+    for r in (5.0, 25.0, 50.0):
+        g = derive_aniso_config(cfg, terminate_radius=r)
+        assert g.deep_take > 0
+        # a radial step from the setup ring lands inside the take band —
+        # otherwise clean dives cannot exist geometrically
+        assert g.setup_distance - move <= g.deep_take
+        # the ring itself sits outside the terminator
+        assert g.setup_distance > r
+        # the phantom-refutation trigger depth is positive (the effective
+        # margin scales as min(margin, 0.1 * r) in the step)
+        assert r - min(g.phantom_margin, 0.1 * r) > 0
+
+
+def _feed_transect(step, gs, src, theta, cfg, noise_mean):
+    """Drive the guide along three crosswind transects of model reads
+    around ``src`` (the geometry that identifies the 3-parameter fit)."""
+    model_n = make_model_n(cfg)
+    u = jnp.array([np.cos(theta), np.sin(theta)])
+    v = jnp.array([-np.sin(theta), np.cos(theta)])
+    pts = [src + d * u + cw * v
+           for d in (80.0, 140.0, 220.0)
+           for cw in np.linspace(-25.0, 25.0, 9)]
+    out = (gs, jnp.int32(0), jnp.zeros((), bool))
+    for p in pts:
+        c_n = model_n(p[None, :], src, theta)[0]
+        conc = c_n * cfg.conc_peak + noise_mean
+        out = step(out[0], p, conc, jnp.int32(2))
+    return out
+
+
+def test_phantom_ban_and_concession():
+    """Environment-falsified fits are banned and the guide concedes after
+    phantom_max_refutes (the radius-5 wrong-theta orbit fixes)."""
+    cfg = _wrf_cfg(max_steps=500)
+    noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
+    base = derive_aniso_config(cfg, terminate_radius=5.0)
+
+    def run(max_refutes, second_src_offset):
+        gcfg = dataclasses.replace(
+            base, phantom_patience=2, phantom_max_refutes=max_refutes)
+        gs, step = make_aniso_guide(cfg, gcfg=gcfg)
+        step = jax.jit(step)
+        src, theta = jnp.array([220.0, 310.0]), 0.9
+        gs, _, over = _feed_transect(step, gs, src, theta, cfg, noise_mean)
+        assert bool(over) and bool(gs.committed)  # fit validated, steering
+        # stand inside the estimated terminate ball WITHOUT the episode
+        # ending: after patience votes the environment has refuted the fit
+        for _ in range(gcfg.phantom_patience + 1):
+            gs, _, over = step(gs, gs.est_good, jnp.float32(0.0), jnp.int32(2))
+        assert int(gs.refutes) == 1 and bool(gs.have_bad)
+        assert not bool(gs.committed) and not bool(over)
+        assert float(gs.w_buf.sum()) == 0.0  # samples wiped for a refit
+        bad = np.asarray(gs.bad_est)
+        # refit from fresh samples around a (possibly shifted) source
+        src2 = src + second_src_offset
+        gs, _, over = _feed_transect(step, gs, src2, theta, cfg, noise_mean)
+        # the refit itself is geometrically valid either way...
+        _, _, se, n_eff = fit_aniso(gs.pos_buf, gs.c_buf, gs.w_buf, cfg, gcfg)
+        assert int(n_eff) >= gcfg.min_samples and float(se) <= gcfg.max_se
+        return gs, bool(over), bad
+
+    # ban: a revalidated fit at the refuted center must not steer
+    gs, over, bad = run(max_refutes=0, second_src_offset=jnp.zeros(2))
+    assert np.linalg.norm(np.asarray(gs.est) - bad) <= base.phantom_ban_radius
+    assert not over and not bool(gs.est_ok)
+    # concession: after max_refutes, even a NON-banned fit must not steer
+    gs, over, bad = run(max_refutes=1,
+                        second_src_offset=jnp.array([60.0, 0.0]))
+    assert np.linalg.norm(np.asarray(gs.est) - bad) > base.phantom_ban_radius
+    assert not over
+    # control: with the cap not yet reached, the shifted refit steers again
+    _, over, _ = run(max_refutes=3, second_src_offset=jnp.array([60.0, 0.0]))
+    assert over
 
 
 def test_guided_aniso_eval_engages_and_does_not_regress():
