@@ -5,7 +5,10 @@ sample counts) — the measurement behind the round-3 "contact-limited"
 finding and the --inplume-bonus knob (RESULTS.md).
 
 Usage: python scripts/aniso_diag.py [ckpt_dir] [episodes] [goal_radius]
+A/B knob overrides via ANISO_OVERRIDES='{"phantom_max_refutes": 6}'.
 """
+import json
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -19,21 +22,31 @@ import numpy as np
 from tpu_plume.core.config import get_preset
 from tpu_plume.data.checkpoint import restore_checkpoint
 from tpu_plume.evaluation import evaluate_policy
+from tpu_plume.evaluation.aniso_fit import derive_aniso_config, make_aniso_guide
 from tpu_plume.evaluation.guidance import make_guide
 from tpu_plume.models import ActorCritic
 
 CKPT = sys.argv[1] if len(sys.argv) > 1 else "/root/runs/r3s_wrf/checkpoint"
 EPISODES = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 GOAL_R = float(sys.argv[3]) if len(sys.argv) > 3 else None
+OVERRIDES = json.loads(os.environ.get("ANISO_OVERRIDES", "{}"))
 
 cfg = get_preset("wrf_les")
 env = dataclasses.replace(cfg.env, reward_variant="delta", obs_memory=True)
 params = jax.tree.map(jnp.asarray, restore_checkpoint(CKPT)["params"])
 model = ActorCritic(num_actions=env.num_actions)
 ev = dataclasses.replace(cfg.eval, episodes=EPISODES)
+if OVERRIDES:
+    gcfg = dataclasses.replace(
+        derive_aniso_config(env, terminate_radius=GOAL_R or 50.0),
+        **OVERRIDES)
+    print("overrides:", OVERRIDES)
+    guide = make_aniso_guide(env, gcfg=gcfg)
+else:
+    guide = make_guide(env, terminate_radius=GOAL_R)
 m = evaluate_policy(params, model.apply, env, ev, jax.random.PRNGKey(0),
                     num_episodes=EPISODES, greedy=True, goal_radius=GOAL_R,
-                    guide=make_guide(env, terminate_radius=GOAL_R))
+                    guide=guide)
 
 if GOAL_R is not None:
     print(f"goal_radius {GOAL_R}: bullseye "
@@ -56,6 +69,13 @@ um = ~steered & fail
 print(f"unsteered failures: {um.mean():.2%} of all — samples med "
       f"{np.median(m.guide_samples[um]) if um.sum() else 0:.0f}, timeout "
       f"frac {(m.steps[um] >= env.max_steps - 1).mean() if um.sum() else 0:.2%}")
+if m.guide_refutes is not None and um.sum():
+    r = m.guide_refutes[um]
+    print(f"  refutes among unsteered failures: 0/1/2/3+ = "
+          f"{(r == 0).mean():.2f}/{(r == 1).mean():.2f}/"
+          f"{(r == 2).mean():.2f}/{(r >= 3).mean():.2f} | "
+          f"est err med {np.median(est_err[um]):.1f} px | fit_ok-at-end "
+          f"{m.guide_fit_ok[um].mean():.2f}")
 sm = steered & fail
 if sm.sum():
     print(f"steered failures: {sm.mean():.2%} of all — est err med "

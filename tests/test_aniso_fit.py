@@ -94,9 +94,16 @@ def test_derive_small_terminator_dive_geometry():
         assert g.setup_distance - move <= g.deep_take
         # the ring itself sits outside the terminator
         assert g.setup_distance > r
-        # the phantom-refutation trigger depth is positive (the effective
-        # margin scales as min(margin, 0.1 * r) in the step)
-        assert r - min(g.phantom_margin, 0.1 * r) > 0
+        # the presence-falsification trigger: active only where the miss
+        # depth can exceed the estimate's error scale (r=50), self-disabled
+        # where est err ~ ball size (r=5; commit_timeout covers wrong fits)
+        margin_eff = max(min(g.phantom_margin, 0.1 * r),
+                         g.phantom_se_mult * g.max_se)
+        if r >= 50.0:
+            assert r - margin_eff > 0
+        if r <= 5.0:
+            assert r - margin_eff < 0
+            assert g.commit_timeout > 0
 
 
 def _feed_transect(step, gs, src, theta, cfg, noise_mean):
@@ -124,8 +131,11 @@ def test_phantom_ban_and_concession():
     base = derive_aniso_config(cfg, terminate_radius=5.0)
 
     def run(max_refutes, second_src_offset):
+        # phantom_se_mult=0 re-arms the presence path at this small
+        # terminator so the ban/concession machinery itself is exercised
         gcfg = dataclasses.replace(
-            base, phantom_patience=2, phantom_max_refutes=max_refutes)
+            base, phantom_patience=2, phantom_max_refutes=max_refutes,
+            phantom_se_mult=0.0)
         gs, step = make_aniso_guide(cfg, gcfg=gcfg)
         step = jax.jit(step)
         src, theta = jnp.array([220.0, 310.0]), 0.9
@@ -151,6 +161,13 @@ def test_phantom_ban_and_concession():
     gs, over, bad = run(max_refutes=0, second_src_offset=jnp.zeros(2))
     assert np.linalg.norm(np.asarray(gs.est) - bad) <= base.phantom_ban_radius
     assert not over and not bool(gs.est_ok)
+    # ...but the ban ball is PROOF-sized (terminate_radius - d_min ~ 5 px
+    # here, the agent refuted from the estimate's center): a fit 8 px off
+    # the refuted center — e.g. the TRUE source after an early slightly-off
+    # fit — stays eligible and steers again
+    gs, over, bad = run(max_refutes=0,
+                        second_src_offset=jnp.array([8.0, 0.0]))
+    assert over and bool(gs.committed)
     # concession: after max_refutes, even a NON-banned fit must not steer
     gs, over, bad = run(max_refutes=1,
                         second_src_offset=jnp.array([60.0, 0.0]))
@@ -159,6 +176,29 @@ def test_phantom_ban_and_concession():
     # control: with the cap not yet reached, the shifted refit steers again
     _, over, _ = run(max_refutes=3, second_src_offset=jnp.array([60.0, 0.0]))
     assert over
+
+
+def test_commit_age_refutation_releases_without_ban():
+    """A commit that outlives commit_timeout without terminating is
+    refuted (samples wiped, control released) but the center is NOT
+    banned — only falsification-by-presence bans (radius-5 diag: wrong
+    fits can orbit the setup ring forever without entering the ball)."""
+    cfg = _wrf_cfg(max_steps=500)
+    noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
+    gcfg = dataclasses.replace(
+        derive_aniso_config(cfg, terminate_radius=5.0), commit_timeout=20)
+    gs, step = make_aniso_guide(cfg, gcfg=gcfg)
+    step = jax.jit(step)
+    src, theta = jnp.array([220.0, 310.0]), 0.9
+    gs, _, over = _feed_transect(step, gs, src, theta, cfg, noise_mean)
+    assert bool(over) and bool(gs.committed)
+    # orbit OUTSIDE the est ball (no phantom votes) with sub-floor reads
+    far = gs.est_good + jnp.array([40.0, 0.0])
+    for _ in range(gcfg.commit_timeout + 2):
+        gs, _, over = step(gs, far, jnp.float32(0.0), jnp.int32(2))
+    assert int(gs.refutes) == 1 and not bool(gs.committed) and not bool(over)
+    assert not bool(gs.have_bad)  # stale != proof the ball is source-free
+    assert float(gs.w_buf.sum()) == 0.0
 
 
 def test_guided_aniso_eval_engages_and_does_not_regress():

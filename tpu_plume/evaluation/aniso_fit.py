@@ -86,18 +86,50 @@ class AnisoGuideConfig:
     commit_on_ok: bool = True
     phantom_patience: int = 3
     phantom_margin: float = 5.0
-    # after a refutation, new fits landing within this radius of the
-    # refuted center are rejected (no steering): the environment proved
-    # that ball source-free, and a deterministic refit on similar samples
-    # otherwise re-selects the same wrong theta mode and orbits again
-    # (measured on the radius-5 protocol: 20-25% of episodes timed out on
-    # confident ~110-160-px-off fits before the ban)
+    # survival inside the est ball only falsifies the fit when the depth
+    # of the miss exceeds the estimate's own error scale: the effective
+    # margin is max(phantom_margin-scaled, phantom_se_mult * max_se).  At
+    # terminate_radius 50 this leaves the trigger at ~42 px (a take-band
+    # landing that survives IS falsification — est err ~2 px << the 16-px
+    # take depth).  At terminate_radius 5 it drives the trigger depth
+    # negative, DISABLING the presence path entirely: est err (~3 px) is
+    # comparable to the whole ball, so every legitimate near-miss dive
+    # landing was counted as a phantom vote — good commits got refuted
+    # after ~3 dives, their samples wiped, and three cycles conceded the
+    # episode while the fit sat 3 px from the truth (radius-5 diag: 23%
+    # of episodes).  Wrong fits at small radii are caught by
+    # commit_timeout instead.
+    phantom_se_mult: float = 2.0
+    # after a refutation, new fits near the refuted center are rejected
+    # (no steering): a deterministic refit on similar samples otherwise
+    # re-selects the same wrong theta mode and orbits again (measured on
+    # the radius-5 protocol: 20-25% of episodes timed out on confident
+    # ~110-160-px-off fits before the ban).  This is the CAP on the ban
+    # ball; the actual radius is the environment's PROOF —
+    # terminate_radius - d_min with d_min the closest committed approach
+    # to the estimate (visiting p without terminating proves
+    # ball(p, terminate_radius) source-free).  A fixed 15-px ban at
+    # terminate_radius 5 banned the TRUE source whenever an early
+    # ~8-px-off fit got refuted: 23% of episodes ended conceded with an
+    # eventually-excellent fit (3.2 px median) the guide refused to use.
     phantom_ban_radius: float = 15.0
     # the wrong-theta solution family is a CONTINUUM along the ridge, so
     # a local ban only shifts the phantom; after this many refutations the
     # guide concedes the episode to the policy (which is itself a ~60%
     # precision diver) instead of orbiting to timeout.  <= 0 disables.
     phantom_max_refutes: int = 3
+    # commit-age refutation: being committed this many steps WITHOUT the
+    # episode terminating is itself environmental falsification — the
+    # ball-entry phantom trigger needs the controller to actually land
+    # inside the est ball, but a wrong fit can orbit the setup ring
+    # forever without ever entering it (radius-5 diag: 11.7% of episodes
+    # still committed at timeout on a ~146-px-off fit, zero phantom
+    # votes).  A stale commit wipes the samples and counts a refutation
+    # but does NOT ban the center (no falsification-by-presence): a true
+    # center may simply re-validate and get a fresh window, while a wrong
+    # off-plume center cannot refill its buffer (sub-floor reads) and
+    # control passes to the policy.  <= 0 disables.
+    commit_timeout: int = 100
     # --- crosswind transect active sensing (the anisotropic analog of the
     # isotropic hover bounce).  The plume is a narrow ridge along the wind:
     # once a strong read engages the mode, the guide zigzags PERPENDICULAR
@@ -151,8 +183,10 @@ class AnisoGuideState:
     tr_spent: jnp.ndarray  # bool: sensing budget exhausted (one-shot)
     drift: jnp.ndarray     # i32 pending downwind drift steps
     bad_est: jnp.ndarray   # f32[2] last refuted (environment-falsified) center
+    bad_r: jnp.ndarray     # f32 proof-sized ban radius around bad_est
     have_bad: jnp.ndarray  # bool: bad_est is live
     refutes: jnp.ndarray   # i32 refutations this episode
+    d_min: jnp.ndarray     # f32 closest committed approach to the estimate
 
 
 def _inv3(a: jnp.ndarray) -> jnp.ndarray:
@@ -350,8 +384,10 @@ def make_aniso_guide(
             tr_spent=zb,
             drift=zi,
             bad_est=jnp.zeros((2,), jnp.float32),
+            bad_r=z,
             have_bad=zb,
             refutes=zi,
+            d_min=jnp.float32(1e9),
         )
 
     def step(gs: AnisoGuideState, pos, conc, policy_action):
@@ -375,8 +411,7 @@ def make_aniso_guide(
         if gcfg.phantom_ban_radius > 0:
             ok = ok & ~(
                 gs.have_bad
-                & (jnp.linalg.norm(est - gs.bad_est)
-                   <= gcfg.phantom_ban_radius)
+                & (jnp.linalg.norm(est - gs.bad_est) <= gs.bad_r)
             )
 
         commit_now = ok if gcfg.commit_on_ok else jnp.zeros((), bool)
@@ -396,16 +431,26 @@ def make_aniso_guide(
         # a consecutive counter never reaches patience).
         refuted = jnp.zeros((), bool)
         phantom_count = jnp.zeros_like(gs.phantom_count)
+        d_min = gs.d_min
+        r_ban = jnp.float32(gcfg.phantom_ban_radius)
         if gcfg.phantom_patience > 0:
             # trigger depth ~ the take band: an est-implied landing inside
             # the ball that did NOT terminate is one refutation vote.  A
             # false vote on a true fit is cheap (samples wipe, the fit
             # re-converges from on-ball samples in ~10-20 steps); a
             # phantom orbit costs the whole episode.
-            margin_eff = min(
-                gcfg.phantom_margin, 0.1 * gcfg.terminate_radius
+            margin_eff = max(
+                min(gcfg.phantom_margin, 0.1 * gcfg.terminate_radius),
+                gcfg.phantom_se_mult * gcfg.max_se,
             )
             d_here = jnp.linalg.norm(pos[:2] - est_used)
+            # closest committed approach to the estimate: sizes the ban
+            # ball by what the environment actually PROVED source-free
+            # (see AnisoGuideConfig.phantom_ban_radius)
+            d_min = jnp.minimum(
+                jnp.where(gs.committed, gs.d_min, jnp.float32(1e9)),
+                jnp.where(committed, d_here, jnp.float32(1e9)),
+            )
             phantom = committed & (
                 d_here <= gcfg.terminate_radius - margin_eff
             )
@@ -416,10 +461,23 @@ def make_aniso_guide(
             )
             refuted = phantom_count >= gcfg.phantom_patience
             committed = committed & ~refuted
-        steer = steer & ~refuted
+            r_ban = jnp.clip(
+                gcfg.terminate_radius - d_min,
+                margin_eff, gcfg.phantom_ban_radius,
+            )
+        stale = jnp.zeros((), bool)
+        if gcfg.commit_timeout > 0:
+            stale = gs.committed & (gs.commit_age >= gcfg.commit_timeout)
+            committed = committed & ~stale
+        wiped = refuted | stale
+        steer = steer & ~wiped
+        # only falsification-by-PRESENCE bans the center (see
+        # AnisoGuideConfig.commit_timeout)
         bad_est = jnp.where(refuted, est_used, gs.bad_est)
+        bad_r = jnp.where(refuted, r_ban, gs.bad_r)
         have_bad = gs.have_bad | refuted
-        refutes = gs.refutes + refuted.astype(jnp.int32)
+        d_min = jnp.where(committed, d_min, jnp.float32(1e9))
+        refutes = gs.refutes + wiped.astype(jnp.int32)
         if gcfg.phantom_max_refutes > 0:
             conceded = refutes >= gcfg.phantom_max_refutes
             steer = steer & ~conceded
@@ -490,10 +548,12 @@ def make_aniso_guide(
             tr_spent=spent,
             drift=drift,
             bad_est=bad_est,
+            bad_r=bad_r,
             have_bad=have_bad,
             refutes=refutes,
-            # a refuted fit's samples are wiped so the fit restarts
-            w_buf=jnp.where(refuted, jnp.zeros_like(gs.w_buf), gs.w_buf),
+            d_min=d_min,
+            # a refuted/stale fit's samples are wiped so the fit restarts
+            w_buf=jnp.where(wiped, jnp.zeros_like(gs.w_buf), gs.w_buf),
         )
         return gs, action, overriding
 

@@ -62,6 +62,8 @@ class EvalMetrics:
     guide_fit_ok: np.ndarray | None = None
     guide_samples: np.ndarray | None = None
     guide_est: np.ndarray | None = None  # [N, 2] trilateration estimate
+    # refutation count at episode end (guides without the field report 0)
+    guide_refutes: np.ndarray | None = None
 
     def save_csv(self, path: str):
         """The V1.1 evaluator's evaluation_results.csv schema
@@ -281,7 +283,9 @@ def evaluate_policy(
         )
         if guide is not None:
             gdiag = (carry.guide_state.mode, carry.guide_state.est_ok,
-                     carry.guide_state.count, carry.guide_state.est)
+                     carry.guide_state.count, carry.guide_state.est,
+                     getattr(carry.guide_state, "refutes",
+                             jnp.zeros_like(carry.guide_state.mode)))
         else:
             gdiag = None
         return (deviation, carry.steps, carry.stopped_early, peak_pred,
@@ -304,6 +308,7 @@ def evaluate_policy(
         guide_fit_ok=None if gdiag is None else np.asarray(gdiag[1]),
         guide_samples=None if gdiag is None else np.asarray(gdiag[2]),
         guide_est=None if gdiag is None else np.asarray(gdiag[3]),
+        guide_refutes=None if gdiag is None else np.asarray(gdiag[4]),
     )
 
 
