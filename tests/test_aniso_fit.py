@@ -199,6 +199,44 @@ def test_commit_age_refutation_releases_without_ban():
     assert int(gs.refutes) == 1 and not bool(gs.committed) and not bool(over)
     assert not bool(gs.have_bad)  # stale != proof the ball is source-free
     assert float(gs.w_buf.sum()) == 0.0
+    # stale wipes do NOT burn the concession budget (stale_concedes=False
+    # default): only presence refutations support the continuum argument
+    assert int(gs.p_refutes) == 0
+
+
+def test_stale_wipes_never_concede_by_default():
+    """Repeated commit-age refutations keep recycling the window — the
+    guide re-commits and steers again past phantom_max_refutes stale
+    cycles (radius-5 measurement: the stale-counting cap conceded
+    winnable episodes; 68.8% -> 76.2% bullseye when lifted).  With
+    stale_concedes=True the old budget-burning semantics return."""
+    cfg = _wrf_cfg(max_steps=500)
+    noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
+
+    def cycles(stale_concedes):
+        gcfg = dataclasses.replace(
+            derive_aniso_config(cfg, terminate_radius=5.0),
+            commit_timeout=20, phantom_max_refutes=2,
+            stale_concedes=stale_concedes)
+        gs, step = make_aniso_guide(cfg, gcfg=gcfg)
+        step = jax.jit(step)
+        src, theta = jnp.array([220.0, 310.0]), 0.9
+        steers = []
+        for _ in range(3):  # 3 windows > the cap of 2
+            gs, _, over = _feed_transect(step, gs, src, theta, cfg,
+                                         noise_mean)
+            steers.append(bool(over))
+            far = gs.est_good + jnp.array([40.0, 0.0])
+            for _ in range(gcfg.commit_timeout + 2):
+                gs, _, over = step(gs, far, jnp.float32(0.0), jnp.int32(2))
+        return steers, int(gs.refutes), int(gs.p_refutes)
+
+    steers, refutes, p_refutes = cycles(stale_concedes=False)
+    assert steers == [True, True, True]  # every window re-validates
+    assert refutes == 3 and p_refutes == 0
+    steers, refutes, _ = cycles(stale_concedes=True)
+    assert steers == [True, True, False]  # conceded after the cap
+    assert refutes >= 2
 
 
 def test_guided_aniso_eval_engages_and_does_not_regress():

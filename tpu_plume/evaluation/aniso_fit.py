@@ -118,6 +118,18 @@ class AnisoGuideConfig:
     # guide concedes the episode to the policy (which is itself a ~60%
     # precision diver) instead of orbiting to timeout.  <= 0 disables.
     phantom_max_refutes: int = 3
+    # which refutations count toward concession.  Only PRESENCE
+    # refutations (the environment PROVED the ball source-free) support
+    # the continuum argument above; a STALE (commit-age) refutation on a
+    # good fit merely recycles the sample window, and counting those
+    # conceded winnable episodes wherever the presence path is disabled
+    # (small terminators: phantom_se_mult drives the trigger depth
+    # negative).  Measured on the radius-5 precision protocol (1000 eps,
+    # r3s_wrf ckpt): stale-counting default 68.8% bullseye, cap raised to
+    # 8 76.2% — the cap was the binding constraint, not the ban.  False
+    # by default: stale wipes still release control + wipe samples, they
+    # just don't burn the episode's concession budget.
+    stale_concedes: bool = False
     # commit-age refutation: being committed this many steps WITHOUT the
     # episode terminating is itself environmental falsification — the
     # ball-entry phantom trigger needs the controller to actually land
@@ -185,7 +197,8 @@ class AnisoGuideState:
     bad_est: jnp.ndarray   # f32[2] last refuted (environment-falsified) center
     bad_r: jnp.ndarray     # f32 proof-sized ban radius around bad_est
     have_bad: jnp.ndarray  # bool: bad_est is live
-    refutes: jnp.ndarray   # i32 refutations this episode
+    refutes: jnp.ndarray   # i32 refutations this episode (presence + stale)
+    p_refutes: jnp.ndarray  # i32 presence refutations only (concession basis)
     d_min: jnp.ndarray     # f32 closest committed approach to the estimate
 
 
@@ -387,6 +400,7 @@ def make_aniso_guide(
             bad_r=z,
             have_bad=zb,
             refutes=zi,
+            p_refutes=zi,
             d_min=jnp.float32(1e9),
         )
 
@@ -478,8 +492,10 @@ def make_aniso_guide(
         have_bad = gs.have_bad | refuted
         d_min = jnp.where(committed, d_min, jnp.float32(1e9))
         refutes = gs.refutes + wiped.astype(jnp.int32)
+        p_refutes = gs.p_refutes + refuted.astype(jnp.int32)
         if gcfg.phantom_max_refutes > 0:
-            conceded = refutes >= gcfg.phantom_max_refutes
+            concede_basis = refutes if gcfg.stale_concedes else p_refutes
+            conceded = concede_basis >= gcfg.phantom_max_refutes
             steer = steer & ~conceded
             committed = committed & ~conceded
         commit_age = jnp.where(committed, gs.commit_age + 1, jnp.int32(0))
@@ -551,6 +567,7 @@ def make_aniso_guide(
             bad_r=bad_r,
             have_bad=have_bad,
             refutes=refutes,
+            p_refutes=p_refutes,
             d_min=d_min,
             # a refuted/stale fit's samples are wiped so the fit restarts
             w_buf=jnp.where(wiped, jnp.zeros_like(gs.w_buf), gs.w_buf),
