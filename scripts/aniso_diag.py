@@ -81,6 +81,30 @@ if sm.sum():
     print(f"steered failures: {sm.mean():.2%} of all — est err med "
           f"{np.median(est_err[sm]):.1f} px, dev med "
           f"{np.median(m.deviations[sm]):.0f}")
+    if m.guide_dmin is not None:
+        d = m.guide_dmin[sm]
+        com = m.guide_committed[sm]
+        live = com & (d < 1e8)
+        q = np.percentile(d[live], [25, 50, 75]) if live.sum() else "—"
+        print(f"  steered-fail committed-at-end {com.mean():.2f} | d_min "
+              f"(closest committed approach to est, committed eps) "
+              f"quartiles {q}")
+        e = m.guide_est[sm]
+        g = env.grid_size
+        out = ((e < 0) | (e > g)).any(axis=-1)
+        near = ((e < 15) | (e > g - 15)).any(axis=-1)
+        print(f"  steered-fail est: outside grid {out.mean():.2f}, within "
+              f"15px of edge or out {near.mean():.2f}")
+if um.sum():
+    e = m.guide_est[um]
+    g = env.grid_size
+    out = ((e < 0) | (e > g)).any(axis=-1)
+    near = ((e < 15) | (e > g - 15)).any(axis=-1)
+    print(f"  unsteered-fail est: outside grid {out.mean():.2f}, within "
+          f"15px of edge or out {near.mean():.2f}")
+if m.guide_dmin is not None and um.sum():
+    com = m.guide_committed[um]
+    print(f"  unsteered-fail committed-at-end {com.mean():.2f}")
 hist = (np.histogram(m.guide_samples[um],
                      bins=[0, 1, 4, 8, 16, 32, 64, 10**6])[0]
         if um.sum() else [])

@@ -100,6 +100,16 @@ class AnisoGuideConfig:
     # of episodes).  Wrong fits at small radii are caught by
     # commit_timeout instead.
     phantom_se_mult: float = 2.0
+    # source-domain constraint: the env spawns sources in
+    # [source_padding, grid - source_padding]^2 (fields/analytic.py:53-55,
+    # mirroring the reference env's padded spawn) — the same env-constant
+    # knowledge the guide already uses for sigma/TI/peak.  The wrong-theta
+    # continuum runs OFF this box for a large share of phantom modes, so
+    # (a) the multi-start selection picks the best IN-DOMAIN mode (often
+    # the true one) over a lower-residual out-of-domain phantom, and
+    # (b) a fit whose estimate still lands outside the box (+ slack for
+    # fit noise) never validates.  slack < 0 disables both.
+    domain_slack: float = 8.0
     # after a refutation, new fits near the refuted center are rejected
     # (no steering): a deterministic refit on similar samples otherwise
     # re-selects the same wrong theta mode and orbits again (measured on
@@ -130,6 +140,20 @@ class AnisoGuideConfig:
     # by default: stale wipes still release control + wipe samples, they
     # just don't burn the episode's concession budget.
     stale_concedes: bool = False
+    # prediction-mismatch refutation: the wrong-theta continuum fits the
+    # SAMPLED region by construction (Gauss-Newton accepted it on those
+    # residuals), so its falsifiable surplus lives in the EXTRAPOLATED
+    # region — the phantom core, where the model demands a strong signal
+    # the field does not deliver.  While committed, a step where the
+    # fitted model predicts a confidently-readable concentration
+    # (>= mismatch_pred_mult * conc_floor) but the read is sub-floor is
+    # one mismatch vote; a strong prediction CONFIRMED by a readable
+    # read resets the count (true fits dive through their own predicted
+    # core and read it).  mismatch_patience votes refute the fit
+    # presence-class: ban + concession budget + sample wipe.  <= 0
+    # disables.
+    mismatch_patience: int = 0
+    mismatch_pred_mult: float = 4.0
     # commit-age refutation: being committed this many steps WITHOUT the
     # episode terminating is itself environmental falsification — the
     # ball-entry phantom trigger needs the controller to actually land
@@ -185,8 +209,10 @@ class AnisoGuideState:
     est_ok: jnp.ndarray    # bool: se gate open this step
     committed: jnp.ndarray   # bool: dive commitment latched
     est_good: jnp.ndarray    # f32[2] freshest validated fix
+    theta_good: jnp.ndarray  # f32 wind angle of the freshest validated fix
     commit_age: jnp.ndarray  # i32
     phantom_count: jnp.ndarray  # i32
+    mm_count: jnp.ndarray    # i32 net prediction-mismatch votes
     mode: jnp.ndarray      # i32 1 while overriding (diagnostics parity)
     tr_mode: jnp.ndarray   # i32 1 while transect sensing is engaged
     tr_sign: jnp.ndarray   # f32 +-1 current crosswind direction
@@ -273,7 +299,19 @@ def fit_aniso(pos, c, w, cfg: EnvConfig, gcfg: AnisoGuideConfig):
         gcfg.n_theta, dtype=jnp.float32
     )
     all_params, all_loss = jax.vmap(run_start)(thetas)
-    best = jnp.argmin(all_loss)
+    if gcfg.domain_slack >= 0:
+        # prefer the best mode whose source lies in the spawn domain —
+        # the phantom branch of the theta continuum frequently exits it
+        # (see AnisoGuideConfig.domain_slack)
+        lo = cfg.source_padding - gcfg.domain_slack
+        hi = cfg.grid_size - cfg.source_padding + gcfg.domain_slack
+        in_dom = ((all_params[:, :2] >= lo) &
+                  (all_params[:, :2] <= hi)).all(axis=-1)
+        gated = jnp.where(in_dom, all_loss, jnp.inf)
+        best = jnp.where(in_dom.any(), jnp.argmin(gated),
+                         jnp.argmin(all_loss))
+    else:
+        best = jnp.argmin(all_loss)
     params = all_params[best]
 
     # posterior: sigma0 = weighted mean squared residual, FLOORED at the
@@ -371,6 +409,7 @@ def make_aniso_guide(
             success_radius=success_radius,
         )
     noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
+    model_n = make_model_n(cfg)
 
     def init() -> AnisoGuideState:
         k = gcfg.buffer_size
@@ -387,8 +426,10 @@ def make_aniso_guide(
             est_ok=zb,
             committed=zb,
             est_good=jnp.zeros((2,), jnp.float32),
+            theta_good=z,
             commit_age=zi,
             phantom_count=zi,
+            mm_count=zi,
             mode=zi,
             tr_mode=zi,
             tr_sign=jnp.ones((), jnp.float32),
@@ -420,6 +461,12 @@ def make_aniso_guide(
             gs.pos_buf, gs.c_buf, gs.w_buf, cfg, gcfg
         )
         ok = (n_eff >= gcfg.min_samples) & (se <= gcfg.max_se)
+        if gcfg.domain_slack >= 0:
+            # a source cannot spawn outside the padded box (see
+            # AnisoGuideConfig.domain_slack)
+            dlo = cfg.source_padding - gcfg.domain_slack
+            dhi = cfg.grid_size - cfg.source_padding + gcfg.domain_slack
+            ok = ok & ((est >= dlo) & (est <= dhi)).all()
         # reject fits inside the environment-falsified ball (see
         # AnisoGuideConfig.phantom_ban_radius)
         if gcfg.phantom_ban_radius > 0:
@@ -431,6 +478,7 @@ def make_aniso_guide(
         commit_now = ok if gcfg.commit_on_ok else jnp.zeros((), bool)
         committed = gs.committed | commit_now
         est_good = jnp.where(ok, est, gs.est_good)
+        theta_good = jnp.where(ok, theta, gs.theta_good)
         est_used = jnp.where(ok, est, est_good)
         steer = ok | committed
 
@@ -479,6 +527,26 @@ def make_aniso_guide(
                 gcfg.terminate_radius - d_min,
                 margin_eff, gcfg.phantom_ban_radius,
             )
+        # prediction-mismatch refutation (see AnisoGuideConfig): votes
+        # accrue where the committed model PREDICTS a confidently
+        # readable signal but the field reads sub-floor; a confirmed
+        # strong prediction resets the count.  Fires in the phantom
+        # CORE (the extrapolated region the wrong-theta continuum
+        # cannot fit), which the dive controller visits every dive.
+        mm_count = jnp.zeros_like(gs.mm_count)
+        if gcfg.mismatch_patience > 0:
+            pred_n = model_n(pos[None, :2], est_used, theta_good)[0]
+            strong_pred = pred_n >= gcfg.mismatch_pred_mult * gcfg.conc_floor
+            vote = strong_pred & (conc_n < gcfg.conc_floor)
+            agree = strong_pred & (conc_n >= gcfg.conc_floor)
+            mm_count = jnp.where(
+                committed,
+                jnp.where(agree, 0, gs.mm_count + vote.astype(jnp.int32)),
+                jnp.int32(0),
+            )
+            mm_refuted = committed & (mm_count >= gcfg.mismatch_patience)
+            refuted = refuted | mm_refuted
+            committed = committed & ~mm_refuted
         stale = jnp.zeros((), bool)
         if gcfg.commit_timeout > 0:
             stale = gs.committed & (gs.commit_age >= gcfg.commit_timeout)
@@ -554,8 +622,10 @@ def make_aniso_guide(
             est_ok=ok,
             committed=committed,
             est_good=est_good,
+            theta_good=theta_good,
             commit_age=commit_age,
             phantom_count=phantom_count,
+            mm_count=mm_count,
             mode=overriding.astype(jnp.int32),
             tr_mode=tr_mode,
             tr_sign=tr_sign,

@@ -64,6 +64,8 @@ class EvalMetrics:
     guide_est: np.ndarray | None = None  # [N, 2] trilateration estimate
     # refutation count at episode end (guides without the field report 0)
     guide_refutes: np.ndarray | None = None
+    guide_dmin: np.ndarray | None = None    # closest committed approach to est
+    guide_committed: np.ndarray | None = None  # committed at episode end
 
     def save_csv(self, path: str):
         """The V1.1 evaluator's evaluation_results.csv schema
@@ -285,7 +287,12 @@ def evaluate_policy(
             gdiag = (carry.guide_state.mode, carry.guide_state.est_ok,
                      carry.guide_state.count, carry.guide_state.est,
                      getattr(carry.guide_state, "refutes",
-                             jnp.zeros_like(carry.guide_state.mode)))
+                             jnp.zeros_like(carry.guide_state.mode)),
+                     getattr(carry.guide_state, "d_min",
+                             jnp.zeros_like(carry.guide_state.est_ok,
+                                            jnp.float32)),
+                     getattr(carry.guide_state, "committed",
+                             jnp.zeros_like(carry.guide_state.est_ok)))
         else:
             gdiag = None
         return (deviation, carry.steps, carry.stopped_early, peak_pred,
@@ -309,6 +316,8 @@ def evaluate_policy(
         guide_samples=None if gdiag is None else np.asarray(gdiag[2]),
         guide_est=None if gdiag is None else np.asarray(gdiag[3]),
         guide_refutes=None if gdiag is None else np.asarray(gdiag[4]),
+        guide_dmin=None if gdiag is None else np.asarray(gdiag[5]),
+        guide_committed=None if gdiag is None else np.asarray(gdiag[6]),
     )
 
 
