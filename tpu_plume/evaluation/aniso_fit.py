@@ -67,6 +67,27 @@ class AnisoGuideConfig:
     # of flights at 2.0 px MEDIAN / 8.2 px p90 source error — sharper than
     # the isotropic trilateration's 3-6 px class.
     max_se: float = 4.0
+    # censored ("null") reads: sub-floor positions are NEGATIVE evidence —
+    # the true model must predict ~nothing there, while a wrong-theta
+    # phantom demands a core.  A ring buffer keeps positions where the
+    # agent read sub-floor for null_streak CONSECUTIVE steps (a single
+    # turbulence dip is not a dead zone; two in a row is P(dip)^2), and
+    # the fit adds one-sided hinge residuals
+    # sqrt(null_weight) * max(0, model(p_null) - null_pred_mult*floor)
+    # so any candidate mode that predicts a readable signal in a proven
+    # dead zone loses the multi-start selection BY RESIDUAL — no FSM
+    # refutation needed, and nulls persist across sample wipes (they are
+    # environment facts, not fit state).  null_buffer = 0 disables.
+    # MEASURED NEUTRAL at radius 5 (77.0% vs 77.1% bullseye, 1000 eps,
+    # r3s_wrf, TPU) at 1.5x fit cost, hence default OFF: nulls kill each
+    # visited phantom only for the refit to select the NEXT in-domain
+    # mode ~30 px along the wrong-theta continuum (steered-failure est
+    # err med moved 151 -> 183 px) — the residual loss pool is sample-
+    # geometry-limited, not falsification-limited.
+    null_buffer: int = 0
+    null_pred_mult: float = 3.0
+    null_streak: int = 2
+    null_weight: float = 1.0
     # Gauss-Newton ladder: damping anneals geometrically damping ->
     # damping_final across the iterations (heavy early steps are guarded,
     # the valley floor converges: fixed 1e-2 stalls ~15 px from the
@@ -146,14 +167,20 @@ class AnisoGuideConfig:
     # region — the phantom core, where the model demands a strong signal
     # the field does not deliver.  While committed, a step where the
     # fitted model predicts a confidently-readable concentration
-    # (>= mismatch_pred_mult * conc_floor) but the read is sub-floor is
-    # one mismatch vote; a strong prediction CONFIRMED by a readable
-    # read resets the count (true fits dive through their own predicted
-    # core and read it).  mismatch_patience votes refute the fit
-    # presence-class: ban + concession budget + sample wipe.  <= 0
-    # disables.
+    # (>= mismatch_pred_mult * conc_floor) but the read is more than
+    # mismatch_ratio BELOW the prediction is one vote; a strong
+    # prediction CONFIRMED within the ratio resets the count (true fits
+    # dive through their own predicted core and read it; at pred =
+    # 4*floor = 6.4 sigma_noise, a false vote needs a -4.8 sigma noise
+    # excursion).  The ratio form matters because the surviving
+    # in-domain phantoms HUG the true ridge (source at the wrong end):
+    # reads near them are readable tail values, 10-100x below the
+    # predicted core, so a sub-floor test never fires.
+    # mismatch_patience votes refute the fit presence-class: ban +
+    # concession budget + sample wipe.  <= 0 disables.
     mismatch_patience: int = 0
     mismatch_pred_mult: float = 4.0
+    mismatch_ratio: float = 4.0
     # commit-age refutation: being committed this many steps WITHOUT the
     # episode terminating is itself environmental falsification — the
     # ball-entry phantom trigger needs the controller to actually land
@@ -226,6 +253,9 @@ class AnisoGuideState:
     refutes: jnp.ndarray   # i32 refutations this episode (presence + stale)
     p_refutes: jnp.ndarray  # i32 presence refutations only (concession basis)
     d_min: jnp.ndarray     # f32 closest committed approach to the estimate
+    null_pos: jnp.ndarray  # f32[Kn, 2] proven dead-zone positions
+    null_w: jnp.ndarray    # f32[Kn] null-slot weights (0 = empty)
+    null_count: jnp.ndarray  # i32 nulls recorded (monotonic)
 
 
 def _inv3(a: jnp.ndarray) -> jnp.ndarray:
@@ -257,18 +287,37 @@ def make_model_n(cfg: EnvConfig):
     return model_n
 
 
-def fit_aniso(pos, c, w, cfg: EnvConfig, gcfg: AnisoGuideConfig):
+def fit_aniso(pos, c, w, cfg: EnvConfig, gcfg: AnisoGuideConfig,
+              null_pos=None, null_w=None):
     """Multi-start damped Gauss-Newton fit over the sample buffer.
+
+    ``null_pos``/``null_w`` optionally add censored-data hinge residuals
+    (see AnisoGuideConfig.null_buffer): candidate modes predicting a
+    readable signal at a proven dead-zone position pay for it in loss.
 
     Returns (est [2], theta, se, n_eff): the best-loss solution across
     ``n_theta`` wind-angle starts and its posterior worst-direction
-    standard error (px) of the source block.
+    standard error (px) of the source block (data rows set sigma0; null
+    rows contribute information).
     """
     model_n = make_model_n(cfg)
     sw = jnp.sqrt(w)
+    n_data = pos.shape[0]
 
-    def residual(params):
-        return (model_n(pos, params[:2], params[2]) - c) * sw
+    if null_pos is not None and null_pos.shape[0] > 0:
+        null_thresh = gcfg.null_pred_mult * gcfg.conc_floor
+        sw_null = jnp.sqrt(gcfg.null_weight) * null_w
+
+        def residual(params):
+            r_d = (model_n(pos, params[:2], params[2]) - c) * sw
+            r_n = sw_null * jnp.maximum(
+                model_n(null_pos, params[:2], params[2]) - null_thresh, 0.0
+            )
+            return jnp.concatenate([r_d, r_n])
+    else:
+
+        def residual(params):
+            return (model_n(pos, params[:2], params[2]) - c) * sw
 
     jac = jax.jacfwd(residual)
     eye = jnp.eye(3, dtype=jnp.float32)
@@ -322,7 +371,8 @@ def fit_aniso(pos, c, w, cfg: EnvConfig, gcfg: AnisoGuideConfig):
     # information inverse
     j = jac(params)
     a = j.T @ j
-    r = residual(params)
+    r = residual(params)[:n_data]  # sigma0 from DATA rows only (nulls
+    #                                are one-sided and mostly zero)
     n_eff = (w > 0).sum()
     noise_n = _NOISE_STD_FRAC * cfg.turbulence_intensity / cfg.conc_peak
     sigma0 = jnp.maximum(
@@ -443,6 +493,9 @@ def make_aniso_guide(
             refutes=zi,
             p_refutes=zi,
             d_min=jnp.float32(1e9),
+            null_pos=jnp.zeros((max(gcfg.null_buffer, 1), 2), jnp.float32),
+            null_w=jnp.zeros((max(gcfg.null_buffer, 1),), jnp.float32),
+            null_count=zi,
         )
 
     def step(gs: AnisoGuideState, pos, conc, policy_action):
@@ -451,15 +504,36 @@ def make_aniso_guide(
         idx = gs.count % gcfg.buffer_size
         slot = jnp.arange(gcfg.buffer_size) == idx
         write = slot & accept
+        # sub-floor streak (shared by the null recorder and the transect
+        # FSM): one turbulence dip is not a dead zone, a streak is
+        readable = conc_n >= gcfg.conc_floor
+        low_streak = jnp.where(readable, jnp.int32(0), gs.low_streak + 1)
         gs = gs.replace(
             pos_buf=jnp.where(write[:, None], pos[None, :2], gs.pos_buf),
             c_buf=jnp.where(write, conc_n, gs.c_buf),
             w_buf=jnp.where(write, 1.0, gs.w_buf),
             count=gs.count + accept.astype(jnp.int32),
         )
-        est, theta, se, n_eff = fit_aniso(
-            gs.pos_buf, gs.c_buf, gs.w_buf, cfg, gcfg
-        )
+        if gcfg.null_buffer > 0:
+            # record a proven dead-zone position (negative evidence for
+            # the fit — see AnisoGuideConfig.null_buffer)
+            nwrite = (~readable) & (low_streak >= gcfg.null_streak)
+            nslot = (jnp.arange(gcfg.null_buffer)
+                     == gs.null_count % gcfg.null_buffer) & nwrite
+            gs = gs.replace(
+                null_pos=jnp.where(nslot[:, None], pos[None, :2],
+                                   gs.null_pos),
+                null_w=jnp.where(nslot, 1.0, gs.null_w),
+                null_count=gs.null_count + nwrite.astype(jnp.int32),
+            )
+            est, theta, se, n_eff = fit_aniso(
+                gs.pos_buf, gs.c_buf, gs.w_buf, cfg, gcfg,
+                null_pos=gs.null_pos, null_w=gs.null_w,
+            )
+        else:
+            est, theta, se, n_eff = fit_aniso(
+                gs.pos_buf, gs.c_buf, gs.w_buf, cfg, gcfg
+            )
         ok = (n_eff >= gcfg.min_samples) & (se <= gcfg.max_se)
         if gcfg.domain_slack >= 0:
             # a source cannot spawn outside the padded box (see
@@ -537,8 +611,8 @@ def make_aniso_guide(
         if gcfg.mismatch_patience > 0:
             pred_n = model_n(pos[None, :2], est_used, theta_good)[0]
             strong_pred = pred_n >= gcfg.mismatch_pred_mult * gcfg.conc_floor
-            vote = strong_pred & (conc_n < gcfg.conc_floor)
-            agree = strong_pred & (conc_n >= gcfg.conc_floor)
+            vote = strong_pred & (conc_n < pred_n / gcfg.mismatch_ratio)
+            agree = strong_pred & (conc_n >= pred_n / gcfg.mismatch_ratio)
             mm_count = jnp.where(
                 committed,
                 jnp.where(agree, 0, gs.mm_count + vote.astype(jnp.int32)),
@@ -575,8 +649,8 @@ def make_aniso_guide(
         )
 
         # ---- crosswind transect active sensing (see AnisoGuideConfig) --
-        readable = conc_n >= gcfg.conc_floor
-        low_streak = jnp.where(readable, jnp.int32(0), gs.low_streak + 1)
+        # (readable/low_streak computed above, shared with the null
+        # recorder)
         enter = (conc_n >= gcfg.enter_weak) & ~gs.tr_spent
         lost = low_streak >= gcfg.lost_patience
         spent = gs.tr_spent | (gs.tr_age >= gcfg.sense_patience)
