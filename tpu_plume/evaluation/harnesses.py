@@ -93,6 +93,14 @@ class EvalMetrics:
         )
         if self.peak_pred is not None:
             data["peak_pred"] = self.peak_pred
+        # guide diagnostics (superset of the reference schema; present
+        # only for guided runs so plain rows stay reference-shaped)
+        for k in ("guide_hover", "guide_fit_ok", "guide_samples",
+                  "guide_est", "guide_refutes", "guide_dmin",
+                  "guide_committed"):
+            v = getattr(self, k)
+            if v is not None:
+                data[k] = v
         np.savez(path, **data)
 
 
