@@ -162,6 +162,7 @@ def measure_tpu(
     minibatches: int = 8,
     bank_kind: str = "none",
     bank_gather: str = "auto",
+    bf16: bool = False,
 ) -> dict:
     """Fused-train-step throughput for one field configuration.
 
@@ -201,7 +202,8 @@ def measure_tpu(
         env=env_cfg,
         # TPU-scale minibatching: same 5 epochs, minibatch sized for MXU
         # utilization instead of the reference's CPU-era 256.
-        ppo=PPOConfig(minibatch_size=batch // minibatches, epochs=5),
+        ppo=PPOConfig(minibatch_size=batch // minibatches, epochs=5,
+                      bf16_compute=bf16),
         curriculum=CurriculumConfig(),
         rollout=RolloutConfig(num_envs=num_envs, unroll_length=unroll),
     )
@@ -318,7 +320,14 @@ def main():
         base_sps = measure_reference_baseline(args.baseline_steps)
 
     main_kind = "none" if args.bank == "all" else args.bank
-    tpu = measure_tpu(args.envs, args.unroll, args.iters, bank_kind=main_kind)
+    # Flagship runs mixed-precision (bf16 trunk compute, f32 params/loss;
+    # PPOConfig.bf16_compute): measured +48% over f32 with training quality
+    # parity (RESULTS.md round 3 bf16 study); the f32 number rides along in
+    # extra.
+    tpu = measure_tpu(args.envs, args.unroll, args.iters, bank_kind=main_kind,
+                      bf16=True)
+    tpu_f32 = measure_tpu(args.envs, args.unroll, max(8, args.iters // 2),
+                          bank_kind=main_kind)
 
     suffix = {"none": "", "2d": "_bank2d", "3d": "_bank3d"}[main_kind]
     result = {
@@ -332,6 +341,7 @@ def main():
             "ppo_updates_per_sec": round(tpu["updates_per_sec"], 2),
             "compile_s": round(tpu["compile_s"], 1),
             "platform": tpu["platform"],
+            "f32_steps_per_sec": round(tpu_f32["steps_per_sec"], 1),
         },
     }
     if cpu_fallback:
@@ -346,7 +356,8 @@ def main():
         # analytic flagship, in the one driver-captured artifact.
         bank_iters = max(8, args.iters // 2)
         for kind in ("2d", "3d"):
-            r = measure_tpu(args.envs, args.unroll, bank_iters, bank_kind=kind)
+            r = measure_tpu(args.envs, args.unroll, bank_iters, bank_kind=kind,
+                            bf16=True)
             result["extra"][f"bank_{kind}_steps_per_sec"] = round(r["steps_per_sec"], 1)
             result["extra"][f"bank_{kind}_compile_s"] = round(r["compile_s"], 1)
     print(json.dumps(result))

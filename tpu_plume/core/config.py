@@ -250,7 +250,26 @@ class PPOConfig:
     shuffle_mode: str = "roll"
     # Compute the actor-critic trunk in bfloat16 (params stay f32, outputs
     # cast back to f32).  MXU-native; off by default for exact-parity runs.
+    # NOTE the round-2 "bf16 measured as a no-op" was a false negative: the
+    # model's dtype pin made flax promote everything back to f32.  Measured
+    # properly (round 3): 16.7 -> 24.6M env-steps/s on the flagship fused
+    # train step.
     bf16_compute: bool = False
+    # Fused Pallas fwd+bwd gradient kernel for the standard feedforward
+    # ActorCritic (ops/pallas_ppo.py): activations stay in VMEM instead of
+    # round-tripping HBM between the forward and backward matmuls — the
+    # update was measured HBM-traffic-bound (~25 of the ~31 ms flagship
+    # iteration).  Parity with jax.grad(ppo_loss) is test-pinned; silently
+    # falls back to autodiff for unsupported configs (lstm arch, distill
+    # labels, ragged minibatches, CPU, multi-chip).
+    # MEASURED SLOWER than XLA autodiff and default OFF (flagship 40-chain
+    # update, v5e-1: fused 37.3 ms vs autodiff 24.3 / 14.8 ms bf16): at
+    # this model size the Mosaic grid-pipeline overhead (~10 us x 64 row
+    # tiles x 40 chains) exceeds the HBM traffic it saves, and the
+    # sequential-chain dependency floor (~0.4 ms/chain) is already nearly
+    # reached by the autodiff path under bf16_compute.  Kept for larger
+    # trunk widths where the traffic term dominates.
+    fused_update: bool = False
     # Actor-critic trunk widths.  (256, 128) is the reference architecture
     # (PPOV1.1/model.py:17-53); wider trunks are a performance config (the
     # MXU is indifferent up to ~1024 at these batch sizes).

@@ -131,6 +131,18 @@ class AnisoGuideConfig:
     # (b) a fit whose estimate still lands outside the box (+ slack for
     # fit noise) never validates.  slack < 0 disables both.
     domain_slack: float = 8.0
+    # peak-proximity tie-break in the multi-start selection: the
+    # wrong-END branch of the theta continuum places the source at the
+    # far end of the contact segment (~100-180 px from the strongest
+    # sample), while the plume's downwind amplitude decay makes the
+    # strongest reading exponentially likely to sit NEAR the true
+    # source.  Among modes whose loss is within peak_tiebreak x of the
+    # best (residuals cannot separate them on a short segment), pick
+    # the one closest to the peak sample.  <= 1 restricts to exact
+    # ties; 0 disables.  MEASURED NEUTRAL at radius 5 (76.5% vs 77.1%
+    # bullseye at 1.3, 1000 eps, r3s_wrf, TPU — the seventh mechanism at
+    # the 76-77% plateau), default off.
+    peak_tiebreak: float = 0.0
     # after a refutation, new fits near the refuted center are rejected
     # (no steering): a deterministic refit on similar samples otherwise
     # re-selects the same wrong theta mode and orbits again (measured on
@@ -356,11 +368,20 @@ def fit_aniso(pos, c, w, cfg: EnvConfig, gcfg: AnisoGuideConfig,
         hi = cfg.grid_size - cfg.source_padding + gcfg.domain_slack
         in_dom = ((all_params[:, :2] >= lo) &
                   (all_params[:, :2] <= hi)).all(axis=-1)
-        gated = jnp.where(in_dom, all_loss, jnp.inf)
-        best = jnp.where(in_dom.any(), jnp.argmin(gated),
-                         jnp.argmin(all_loss))
+        sel_loss = jnp.where(in_dom.any(),
+                             jnp.where(in_dom, all_loss, jnp.inf),
+                             all_loss)
     else:
-        best = jnp.argmin(all_loss)
+        sel_loss = all_loss
+    if gcfg.peak_tiebreak > 0:
+        # residuals cannot separate near-tied modes on a short contact
+        # segment; the peak sample can (see AnisoGuideConfig.peak_tiebreak)
+        tied = sel_loss <= gcfg.peak_tiebreak * sel_loss.min()
+        d_peak = jnp.linalg.norm(all_params[:, :2] - p_star[None, :],
+                                 axis=-1)
+        best = jnp.argmin(jnp.where(tied, d_peak, jnp.inf))
+    else:
+        best = jnp.argmin(sel_loss)
     params = all_params[best]
 
     # posterior: sigma0 = weighted mean squared residual, FLOORED at the

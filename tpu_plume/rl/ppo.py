@@ -270,6 +270,14 @@ def ppo_update(
     )
 
     grad_fn = jax.grad(ppo_loss, has_aux=True)
+    if cfg.fused_update and batch.oracle_actions is None:
+        # VMEM-resident fused fwd+bwd (ops/pallas_ppo.py); None when the
+        # param tree is not the standard feedforward ActorCritic.
+        from tpu_plume.ops.pallas_ppo import make_grad_fn
+
+        fused = make_grad_fn(train_state.params, cfg, cfg.minibatch_size)
+        if fused is not None:
+            grad_fn = fused
 
     def minibatch_step(ts: TrainState, mb: PPOBatch):
         grads, metrics = grad_fn(ts.params, ts.apply_fn, mb, cfg)
