@@ -4,7 +4,7 @@ final guide diagnostics (steered vs unsteered, estimate error, accepted
 sample counts) — the measurement behind the round-3 "contact-limited"
 finding and the --inplume-bonus knob (RESULTS.md).
 
-Usage: python scripts/aniso_diag.py [ckpt_dir] [episodes] [goal_radius]
+Usage: python scripts/aniso_diag.py [ckpt_dir] [episodes] [goal_radius] [seed]
 A/B knob overrides via ANISO_OVERRIDES='{"phantom_max_refutes": 6}'.
 """
 import json
@@ -29,6 +29,7 @@ from tpu_plume.models import ActorCritic
 CKPT = sys.argv[1] if len(sys.argv) > 1 else "/root/runs/r3s_wrf/checkpoint"
 EPISODES = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 GOAL_R = float(sys.argv[3]) if len(sys.argv) > 3 else None
+SEED = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 OVERRIDES = json.loads(os.environ.get("ANISO_OVERRIDES", "{}"))
 
 cfg = get_preset("wrf_les")
@@ -44,7 +45,7 @@ if OVERRIDES:
     guide = make_aniso_guide(env, gcfg=gcfg)
 else:
     guide = make_guide(env, terminate_radius=GOAL_R)
-m = evaluate_policy(params, model.apply, env, ev, jax.random.PRNGKey(0),
+m = evaluate_policy(params, model.apply, env, ev, jax.random.PRNGKey(SEED),
                     num_episodes=EPISODES, greedy=True, goal_radius=GOAL_R,
                     guide=guide)
 
