@@ -108,6 +108,22 @@ def test_evaluate_policy_metrics_schema(tmp_path):
     assert set(loaded.files) == {"deviations", "steps", "success", "stopped_early"}
 
 
+def test_guided_npz_carries_diagnostics(tmp_path):
+    """Guided runs export the guide-state diagnostics; plain runs keep the
+    exact reference schema (previous test)."""
+    from tpu_plume.evaluation.guidance import make_guide
+
+    model, params = _params()
+    m = evaluate_policy(params, model.apply, CFG, EVAL, jax.random.PRNGKey(1),
+                        guide=make_guide(CFG))
+    m.save_npz(str(tmp_path / "validation_metrics.npz"))
+    loaded = np.load(tmp_path / "validation_metrics.npz")
+    assert {"deviations", "steps", "success", "stopped_early",
+            "guide_hover", "guide_fit_ok", "guide_samples", "guide_est",
+            "guide_refutes", "guide_dmin", "guide_committed"} <= set(loaded.files)
+    assert loaded["guide_est"].shape == (EVAL.episodes, 2)
+
+
 def test_evaluate_with_always_stop_gate():
     """An always-fire gate must stop every episode at the window boundary."""
     model, params = _params()
