@@ -190,6 +190,92 @@ def test_torch_pth_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(l2), np.asarray(logits), atol=1e-6)
 
 
+def test_lstm_pth_roundtrip(tmp_path):
+    """LSTM stop-predictor .pth interop: flax params -> the reference's
+    state_dict layouts (PPOV2.0/train_lstm.py:98, PPOV2.1/train_lstm.py:
+    122-124) load strictly into torch replicas with numerical parity, and
+    import round-trips."""
+    import torch
+
+    from tpu_plume.data.torch_export import (
+        export_peak_stop_pth,
+        export_threshold_lstm_pth,
+        import_peak_stop_pth,
+        import_threshold_lstm_pth,
+    )
+    from tpu_plume.models.lstm_zoo import (
+        ConcentrationThresholdPredictor,
+        PeakAndStopPredictor,
+    )
+
+    rng = np.random.default_rng(0)
+
+    m = ConcentrationThresholdPredictor()
+    x = rng.random((3, 10, 1)).astype(np.float32)
+    lengths = jnp.array([10, 10, 10])
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), lengths)
+    p = str(tmp_path / "lstm_threshold_predictor.pth")
+    export_threshold_lstm_pth(params, p)
+
+    class RefThresh(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = torch.nn.LSTM(1, 128, num_layers=3,
+                                      batch_first=True, dropout=0.3)
+            self.fc = torch.nn.Sequential(
+                torch.nn.Linear(128, 64), torch.nn.LayerNorm(64),
+                torch.nn.ReLU(), torch.nn.Dropout(0.1), torch.nn.Linear(64, 1),
+            )
+
+        def forward(self, x):
+            out, _ = self.lstm(x)
+            return self.fc(out[:, -1]).squeeze(-1)
+
+    ref = RefThresh().eval()
+    ref.load_state_dict(torch.load(p, weights_only=True), strict=True)
+    y_flax = np.asarray(m.apply(params, jnp.asarray(x), lengths))
+    with torch.no_grad():
+        y_t = ref(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(y_flax, y_t, rtol=1e-4, atol=1e-5)
+
+    re = jax.tree.map(jnp.asarray, import_threshold_lstm_pth(p))
+    y2 = np.asarray(m.apply(re, jnp.asarray(x), lengths))
+    np.testing.assert_allclose(y2, y_flax, atol=1e-6)
+
+    m2 = PeakAndStopPredictor()
+    x2 = rng.random((4, 20, 1)).astype(np.float32)
+    params2 = m2.init(jax.random.PRNGKey(1), jnp.asarray(x2))
+    p2 = str(tmp_path / "best_peak_and_stop.pth")
+    export_peak_stop_pth(params2, p2)
+
+    class RefPS(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = torch.nn.LSTM(1, 32, num_layers=1, batch_first=True)
+            self.fc_peak = torch.nn.Linear(32, 1)
+            self.fc_stop = torch.nn.Sequential(
+                torch.nn.Linear(32, 1), torch.nn.Sigmoid()
+            )
+
+        def forward(self, x):
+            _, (h_n, _) = self.lstm(x)
+            h = h_n[-1]
+            return self.fc_peak(h).squeeze(-1), self.fc_stop(h).squeeze(-1)
+
+    ref2 = RefPS().eval()
+    ref2.load_state_dict(torch.load(p2, weights_only=True), strict=True)
+    peak_f, stop_f = m2.apply(params2, jnp.asarray(x2))
+    with torch.no_grad():
+        peak_t, stop_t = ref2(torch.from_numpy(x2))
+    np.testing.assert_allclose(np.asarray(peak_f), peak_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stop_f), stop_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    re2 = jax.tree.map(jnp.asarray, import_peak_stop_pth(p2))
+    pk2, _ = m2.apply(re2, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(pk2), np.asarray(peak_f), atol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from tpu_plume.data.checkpoint import restore_checkpoint, save_checkpoint
 

@@ -85,10 +85,108 @@ def test_resume_checkpoint_restores(tmp_path):
 
 
 def test_snapshot_every(tmp_path):
+    """Periodic snapshots land at drain-window boundaries and carry the FULL
+    resume bundle (SURVEY.md §5 — the reference saves params only,
+    PPOV2.0/train_ppo2.0.py:254-256)."""
+    from tpu_plume.data.checkpoint import restore_checkpoint
+
     out = str(tmp_path / "run")
     train_ppo(_tiny_cfg(), out, verbose=False, max_iterations=3,
               write_csv=False, snapshot_every=2)
-    assert os.path.isdir(os.path.join(out, "checkpoint_iter000002"))
+    # sync_every defaults to 8 > max_iterations, so the only drain window is
+    # the final one at iteration 3.
+    snap = os.path.join(out, "checkpoint_iter000003")
+    assert os.path.isdir(snap)
+    bundle = restore_checkpoint(snap)
+    for k in ("params", "opt_state", "rollout", "curriculum", "key", "counters"):
+        assert k in bundle, k
+    assert int(bundle["counters"]["iteration"]) == 3
+
+
+def test_kill_and_resume_equivalence(tmp_path):
+    """A run killed after a snapshot and resumed from it is bit-identical to
+    the uninterrupted run: params, counters, curriculum, and the per-episode
+    CSV all match (mid-run full resume, SURVEY.md §5)."""
+    import dataclasses
+
+    import jax
+
+    cfg = dataclasses.replace(_tiny_cfg(), total_episodes=100_000)
+
+    full = train_ppo(cfg, str(tmp_path / "full"), verbose=False,
+                     max_iterations=6, sync_every=2)
+
+    part_dir = str(tmp_path / "part")
+    train_ppo(cfg, part_dir, verbose=False, max_iterations=4, sync_every=2,
+              snapshot_every=2)
+    res = train_ppo(cfg, part_dir, verbose=False, max_iterations=6,
+                    sync_every=2,
+                    resume_from=os.path.join(part_dir, "checkpoint_iter000004"))
+
+    jax.tree.map(np.testing.assert_array_equal, full.params, res.params)
+    assert res.episodes == full.episodes
+    assert res.successes == full.successes
+    assert res.env_steps == full.env_steps
+    np.testing.assert_array_equal(
+        np.asarray(full.curriculum.radius), np.asarray(res.curriculum.radius)
+    )
+
+    df_full = pd.read_csv(os.path.join(str(tmp_path / "full"),
+                                       "training_results.csv"))
+    df_part = pd.read_csv(os.path.join(part_dir, "training_results.csv"))
+    pd.testing.assert_frame_equal(df_full, df_part)
+
+    # resume + warm-start params are mutually exclusive
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_ppo(cfg, str(tmp_path / "bad"), verbose=False, max_iterations=5,
+                  init_params=full.params,
+                  resume_from=os.path.join(part_dir, "checkpoint_iter000004"))
+
+
+def test_grad_histograms_logged(tmp_path):
+    """With TensorBoard on, the fused step emits a full-batch gradient tree
+    (reference logs per-gradient histograms each episode,
+    PPOV1.1/train_ppo1.0.py:156-162) and the logger writes event files."""
+    import glob
+
+    import jax
+
+    from tpu_plume.rl.curriculum import curriculum_init
+    from tpu_plume.rollout.rollout import init_rollout
+    from tpu_plume.train.ppo_trainer import (
+        LoopCarry, build_train_step, make_train_state,
+    )
+
+    cfg = _tiny_cfg()
+    key = jax.random.PRNGKey(0)
+    ts = make_train_state(cfg, key)
+    rollout = init_rollout(
+        key, cfg.env, cfg.rollout.num_envs,
+        radius=cfg.curriculum.initial_radius,
+        explore_bonus=cfg.env.explore_bonus_init,
+    )
+    loop = LoopCarry(
+        train_state=ts, rollout=rollout,
+        curriculum=curriculum_init(cfg.curriculum, cfg.env.explore_bonus_init),
+        key=key,
+    )
+    _, stats, _ = build_train_step(cfg, with_grads=True)(loop)
+    grads = stats["grads"]
+    assert jax.tree.structure(grads) == jax.tree.structure(ts.params)
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+    # at least one leaf nonzero (a real gradient, not a placeholder)
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in jax.tree.leaves(grads))
+
+    # e2e: the TB event files appear and carry grads/ histograms
+    out = str(tmp_path / "run")
+    train_ppo(_tiny_cfg(), out, verbose=False, max_iterations=2,
+              write_csv=False, use_tensorboard=True, log_every=1)
+    events = glob.glob(os.path.join(out, "tb", "events.out.tfevents.*"))
+    assert events
+    data = b"".join(open(e, "rb").read() for e in events)
+    assert b"grads/" in data and b"params/" in data
 
 
 def test_behavior_cloning_fits_oracle(tmp_path):

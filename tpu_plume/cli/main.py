@@ -168,12 +168,15 @@ def cmd_train(args):
 
     cfg = _apply_overrides(get_preset(args.preset), args)
     init_params = None
+    if args.resume and (args.ckpt or args.pth):
+        raise SystemExit("--resume restores its own params; drop --ckpt/--pth")
     if args.ckpt or args.pth:
         _, init_params = _load_params(args, cfg)
     res = train_ppo(
         cfg,
         args.out,
         init_params=init_params,
+        resume_from=args.resume,
         bank=_make_bank(args, cfg),
         sync_every=args.sync_every,
         capture_netcdf=args.netcdf,
@@ -556,6 +559,11 @@ def build_parser():
         sp.add_argument("--seed", type=int)
         sp.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (find the op producing NaNs)")
+        sp.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the environment pins "
+                             "JAX_PLATFORMS=axon before the env var is "
+                             "readable, so an env override alone is not "
+                             "enough)")
         sp.add_argument("--lr", type=float)
         sp.add_argument("--entropy", type=float)
         sp.add_argument("--ln-lstm", action="store_true",
@@ -630,7 +638,14 @@ def build_parser():
     sp.add_argument("--profile-steps", type=int, default=0,
                     help="capture a jax.profiler trace over N train steps")
     sp.add_argument("--snapshot-every", type=int,
-                    help="save a params snapshot every N iterations")
+                    help="save a full resume bundle every >= N iterations "
+                         "(at drain-window boundaries)")
+    sp.add_argument("--resume", metavar="DIR",
+                    help="resume an interrupted run from a full-bundle "
+                         "checkpoint dir (checkpoint_iterNNNNNN or the "
+                         "end-of-run checkpoint); restores params, optimizer, "
+                         "env states, curriculum, PRNG and counters — "
+                         "bit-exact continuation, CSV logs append")
     sp.add_argument("--no-csv", action="store_true",
                     help="skip per-episode CSV drain (pure-throughput training)")
     sp.add_argument("--sync-every", type=int,
@@ -697,6 +712,8 @@ def build_parser():
                          "(--variant params only)")
     sp.add_argument("--out", default="runs/lstm")
     sp.add_argument("--epochs", type=int, default=150)
+    sp.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (see train --cpu)")
     sp.set_defaults(fn=cmd_train_lstm)
 
     sp = sub.add_parser("eval", help="greedy evaluation harness")
@@ -813,6 +830,10 @@ def _enable_compile_cache():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     _enable_compile_cache()
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if getattr(args, "debug_nans", False):
         import jax
 

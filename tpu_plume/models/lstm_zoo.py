@@ -95,7 +95,9 @@ class ConcentrationThresholdPredictor(nn.Module):
                 # last), PPOV2.0/model.py:206-212.
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         y = nn.Dense(64, kernel_init=_xavier)(h)
-        y = nn.LayerNorm()(y)
+        # torch LayerNorm eps (the flax default 1e-6 costs ~7e-4 relative
+        # drift vs the reference module — measured in the .pth parity test).
+        y = nn.LayerNorm(epsilon=1e-5)(y)
         y = nn.relu(y)
         y = nn.Dropout(self.head_dropout, deterministic=deterministic)(y)
         y = nn.Dense(1, kernel_init=_xavier)(y)

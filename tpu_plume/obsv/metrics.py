@@ -36,12 +36,19 @@ class EpisodeCSVLogger:
     """Streams completed-episode rows in the reference's training_results
     CSV schema."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, append: bool = False):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._fh: IO = open(path, "w", newline="")
-        self._writer = csv.writer(self._fh)
-        self._writer.writerow(EPISODE_COLUMNS)
+        resume = append and os.path.exists(path) and os.path.getsize(path) > 0
         self.count = 0
+        if resume:
+            # Continue the Episode numbering from the existing rows
+            # (mid-run resume, SURVEY.md §5).
+            with open(path, newline="") as fh:
+                self.count = max(sum(1 for _ in fh) - 1, 0)
+        self._fh: IO = open(path, "a" if resume else "w", newline="")
+        self._writer = csv.writer(self._fh)
+        if not resume:
+            self._writer.writerow(EPISODE_COLUMNS)
 
     def log_records(self, records: dict) -> int:
         """Drain a batch of masked EpisodeRecord arrays (host numpy) —
@@ -100,9 +107,13 @@ class Stopwatch:
 class TrainLogger:
     """Iteration-level scalar log: CSV always, TensorBoard when available."""
 
-    def __init__(self, out_dir: str, use_tensorboard: bool = False):
+    def __init__(self, out_dir: str, use_tensorboard: bool = False,
+                 append: bool = False):
         os.makedirs(out_dir, exist_ok=True)
-        self._fh = open(os.path.join(out_dir, "train_log.csv"), "w", newline="")
+        path = os.path.join(out_dir, "train_log.csv")
+        resume = append and os.path.exists(path) and os.path.getsize(path) > 0
+        self._fh = open(path, "a" if resume else "w", newline="")
+        self._skip_header = resume
         self._csv = csv.writer(self._fh)
         self._tb = None
         if use_tensorboard:
@@ -132,7 +143,8 @@ class TrainLogger:
     def log(self, step: int, scalars: dict):
         if self._keys is None:
             self._keys = sorted(scalars)
-            self._csv.writerow(["step"] + self._keys)
+            if not self._skip_header:
+                self._csv.writerow(["step"] + self._keys)
         self._csv.writerow([step] + [f"{float(scalars.get(k, float('nan'))):.6g}" for k in self._keys])
         self._fh.flush()
         if self._tb is not None:

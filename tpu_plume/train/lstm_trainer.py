@@ -178,9 +178,15 @@ def train_threshold_lstm(
             print(f"epoch {epoch + 1}, loss {loss:.4f}, lr {cur_lr:.2e}")
 
     from tpu_plume.data.checkpoint import save_checkpoint
+    from tpu_plume.data.torch_export import export_threshold_lstm_pth
 
     save_checkpoint(os.path.join(out_dir, "lstm_threshold_predictor"), {"params": params})
     scaler.save(os.path.join(out_dir, "scaler_params.npy"))
+    # Reference artifact name/format (PPOV2.0/train_lstm.py:98).
+    os.makedirs(os.path.join(out_dir, "model"), exist_ok=True)
+    export_threshold_lstm_pth(
+        params, os.path.join(out_dir, "model", "lstm_threshold_predictor.pth")
+    )
 
     # R^2 on the training fit (reference README claims R^2 = 0.82 on test).
     pred = np.asarray(model.apply(params, x_dev))
@@ -334,8 +340,14 @@ def train_peak_stop_lstm(
             print(f"epoch {epoch + 1}, loss {loss:.4f}, lr {cur_lr:.2e}")
 
     from tpu_plume.data.checkpoint import save_checkpoint
+    from tpu_plume.data.torch_export import export_peak_stop_pth
 
     save_checkpoint(os.path.join(out_dir, "best_peak_and_stop"), {"params": best_params})
+    # Reference artifact name/format (PPOV2.1/train_lstm.py:122-124).
+    os.makedirs(os.path.join(out_dir, "model"), exist_ok=True)
+    export_peak_stop_pth(
+        best_params, os.path.join(out_dir, "model", "best_peak_and_stop.pth")
+    )
     return LSTMTrainResult(params=best_params, losses=losses, out_dir=out_dir,
                            extra={"best_loss": best_loss})
 

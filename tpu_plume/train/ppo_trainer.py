@@ -114,12 +114,22 @@ class _BankStep:
         return self._jitted.lower(loop, self._bank)
 
 
-def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Callable:
+def build_train_step(
+    cfg: TrainConfig, donate: bool = False, bank=None, with_grads: bool = False
+) -> Callable:
     """One fused training iteration; jit once per config.
 
     ``donate`` donates the loop carry (saves a buffer copy per iteration) but
     is unsupported by some PJRT transports (e.g. tunneled single-chip
-    backends return INVALID_ARGUMENT) — off by default."""
+    backends return INVALID_ARGUMENT) — off by default.
+
+    ``with_grads`` adds a ``"grads"`` pytree to the stats dict for
+    TensorBoard gradient histograms (reference logs per-gradient histograms
+    each episode, PPOV1.1/train_ppo1.0.py:156-162).  Deviation: the
+    reference logs the last minibatch's still-attached ``.grad`` tensors;
+    here it is the FULL-batch gradient at the post-update params — one extra
+    fwd+bwd per iteration, paid only in logging mode, and a strictly
+    lower-variance histogram."""
     env_cfg, ppo_cfg, cur_cfg = cfg.env, cfg.ppo, cfg.curriculum
     T = cfg.rollout.unroll_length
     rnn = make_policy_model(cfg) if ppo_cfg.arch == "lstm" else None
@@ -176,6 +186,12 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
             train_state, loss_metrics = ppo_update_recurrent(
                 loop.train_state, rbatch, k_update, ppo_cfg
             )
+            if with_grads:
+                from tpu_plume.rl.ppo import ppo_loss_recurrent
+
+                grads_tree, _ = jax.grad(ppo_loss_recurrent, has_aux=True)(
+                    train_state.params, train_state.apply_fn, rbatch, ppo_cfg
+                )
         else:
             adv_n = normalize_advantages(flat(advantages), ppo_cfg)
             if ppo_cfg.bug_compat_returns:
@@ -196,6 +212,12 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
                 ),
             )
             train_state, loss_metrics = ppo_update(loop.train_state, batch, k_update, ppo_cfg)
+            if with_grads:
+                from tpu_plume.rl.ppo import ppo_loss
+
+                grads_tree, _ = jax.grad(ppo_loss, has_aux=True)(
+                    train_state.params, train_state.apply_fn, batch, ppo_cfg
+                )
 
         new_episodes = traj.done.sum().astype(jnp.int32)
         new_successes = (traj.done & traj.episode.success).sum().astype(jnp.int32)
@@ -214,6 +236,8 @@ def build_train_step(cfg: TrainConfig, donate: bool = False, bank=None) -> Calla
                 "curriculum/updates": curriculum.num_updates,
             }
         )
+        if with_grads:
+            stats["grads"] = grads_tree
         new_loop = LoopCarry(
             train_state=train_state, rollout=carry, curriculum=curriculum, key=key
         )
@@ -316,6 +340,7 @@ def train_ppo(
     init_params=None,
     bank=None,
     sync_every: int | None = None,
+    resume_from: str | None = None,
 ) -> TrainResult:
     """Train until ``cfg.total_episodes`` episodes complete (or
     ``max_iterations`` train steps).  ``init_params`` warm-starts the policy
@@ -327,7 +352,20 @@ def train_ppo(
     K-iteration lag.  On the tunneled single-chip backend one round trip
     costs ~30 ms against a ~32 ms device step, so per-iteration syncing
     halves throughput (measured 8.2M -> 15.3M env-steps/s at K=8).  Default
-    8 — record drains ride the same packed per-window transfer."""
+    8 — record drains ride the same packed per-window transfer.
+
+    ``resume_from`` restarts an interrupted run from a full-bundle
+    checkpoint (the end-of-run ``checkpoint`` dir or a periodic
+    ``checkpoint_iterNNNNNN`` written by ``snapshot_every``): params,
+    optimizer state, the entire device rollout carry (env states, obs,
+    per-episode accumulators, PRNG), curriculum, and host counters are all
+    restored, so the continuation is bit-identical to the uninterrupted run
+    (pinned by tests/test_train.py::test_kill_and_resume_equivalence).  The
+    reference cannot do this at all — it saves final state_dicts only
+    (PPOV2.0/train_ppo2.0.py:254-256).  CSV logs append; ``total_episodes``
+    and ``max_iterations`` stay absolute targets.  Host-side NetCDF capture
+    buffers are NOT part of the bundle: a resumed capture run restarts its
+    training_data.nc (episode records and CSV stats remain exact)."""
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.PRNGKey(cfg.seed)
     k_model, k_roll, k_loop = jax.random.split(key, 3)
@@ -349,10 +387,64 @@ def train_ppo(
         hidden=hidden,
     )
     loop = LoopCarry(train_state=train_state, rollout=rollout, curriculum=curriculum, key=k_loop)
-    train_step = build_train_step(cfg, bank=bank)
 
-    csv_logger = EpisodeCSVLogger(os.path.join(out_dir, "training_results.csv")) if write_csv else None
-    train_logger = TrainLogger(out_dir, use_tensorboard)
+    episodes = successes = env_steps = 0
+    iteration = 0
+    if resume_from is not None:
+        if init_params is not None:
+            raise ValueError("resume_from and init_params are exclusive: a "
+                             "resume restores the params it was saved with")
+        from tpu_plume.data.checkpoint import restore_checkpoint
+
+        # Typed restore: the freshly initialized loop supplies the abstract
+        # template, so cfg (num_envs, arch, plume model) must match the
+        # saving run — a mismatch fails loudly here, not mid-train.
+        template = {
+            "params": train_state.params,
+            "opt_state": train_state.opt_state,
+            "rollout": rollout,
+            "curriculum": curriculum,
+            "key": k_loop,
+            "counters": {"episodes": 0, "successes": 0,
+                         "env_steps": 0, "iteration": 0},
+        }
+        bundle = restore_checkpoint(resume_from, target=template)
+        loop = LoopCarry(
+            train_state=train_state.replace(
+                params=bundle["params"], opt_state=bundle["opt_state"]
+            ),
+            rollout=bundle["rollout"],
+            curriculum=bundle["curriculum"],
+            key=bundle["key"],
+        )
+        episodes = int(bundle["counters"]["episodes"])
+        successes = int(bundle["counters"]["successes"])
+        env_steps = int(bundle["counters"]["env_steps"])
+        iteration = int(bundle["counters"]["iteration"])
+
+    # Gradient histograms ride the packed stats transfer (f32 pack is
+    # lossless for f32 grads) — only when TensorBoard is consuming them.
+    train_step = build_train_step(cfg, bank=bank, with_grads=use_tensorboard)
+
+    def _full_bundle():
+        """Everything a bit-exact continuation needs (SURVEY.md §5)."""
+        return {
+            "params": jax.device_get(loop.train_state.params),
+            "opt_state": jax.device_get(loop.train_state.opt_state),
+            "rollout": jax.device_get(loop.rollout),
+            "curriculum": jax.device_get(loop.curriculum),
+            "key": jax.device_get(loop.key),
+            "counters": {"episodes": episodes, "successes": successes,
+                         "env_steps": env_steps, "iteration": iteration},
+        }
+
+    resuming = resume_from is not None
+    csv_logger = (
+        EpisodeCSVLogger(os.path.join(out_dir, "training_results.csv"),
+                         append=resuming)
+        if write_csv else None
+    )
+    train_logger = TrainLogger(out_dir, use_tensorboard, append=resuming)
     nc_writer = None
     tracker = RadiusTracker()
     assembler = None
@@ -370,13 +462,13 @@ def train_ppo(
 
     conc_csv_path = os.path.join(out_dir, "data.csv") if capture_conc_csv else None
     if conc_csv_path:
-        open(conc_csv_path, "w").close()
+        if not (resuming and os.path.exists(conc_csv_path)):
+            open(conc_csv_path, "w").close()
         if assembler is None:
             assembler = EpisodeAssembler(cfg.rollout.num_envs, cfg.env.max_steps)
 
     watch = Stopwatch()
-    episodes = successes = env_steps = nc_written = 0
-    iteration = 0
+    nc_written = 0
     per_iter_steps = cfg.rollout.num_envs * cfg.rollout.unroll_length
     t_start = time.perf_counter()
     t_steady = None  # set after the first (compile-bearing) iteration
@@ -467,22 +559,11 @@ def train_ppo(
                     nc_written += 1
 
     def _log(it, stats):
-        # Periodic snapshots — the TPU-era equivalent of V1.1's "save every
-        # successful episode's state_dict" list (PPOV1.1/train_ppo1.0.py:
-        # 151-152, 173): at batched scale per-episode snapshots are
-        # meaningless, so snapshots are taken per N iterations instead.
-        if snapshot_every and it % snapshot_every == 0:
-            from tpu_plume.data.checkpoint import save_checkpoint as _save
-
-            _save(
-                os.path.join(out_dir, f"checkpoint_iter{it:06d}"),
-                {"params": jax.device_get(loop.train_state.params)},
-            )
         if it % log_every == 0 or episodes >= cfg.total_episodes:
             # steady-state throughput: exclude the compile-bearing first iter
             dt = time.perf_counter() - t_steady
             sps = (it - it_at_steady) * per_iter_steps / max(dt, 1e-9)
-            scalars = {k: float(v) for k, v in stats.items()}
+            scalars = {k: float(v) for k, v in stats.items() if k != "grads"}
             scalars.update(
                 {
                     "throughput/env_steps_per_sec": sps,
@@ -493,6 +574,9 @@ def train_ppo(
             train_logger.log(it, scalars)
             if use_tensorboard:
                 train_logger.log_histograms(it, loop.train_state.params)
+                if "grads" in stats:
+                    train_logger.log_histograms(it, stats["grads"],
+                                                prefix="grads")
             if verbose:
                 print(
                     f"iter {it:5d} | eps {episodes:6d} | "
@@ -523,8 +607,17 @@ def train_ppo(
         16 * cfg.rollout.num_envs * _w,
     )
 
+    # Periodic snapshots — the TPU-era equivalent of V1.1's "save every
+    # successful episode's state_dict" list (PPOV1.1/train_ppo1.0.py:
+    # 151-152, 173): at batched scale per-episode snapshots are meaningless,
+    # so a FULL resume bundle is written at drain-window boundaries every
+    # >= snapshot_every iterations instead — the window boundary is the one
+    # place where the device loop carry, the host counters, and the drained
+    # CSV rows are all consistent with the same iteration.
+    last_snapshot_it = iteration
+
     def consume():
-        nonlocal episodes, successes, t_steady, it_at_steady
+        nonlocal episodes, successes, t_steady, it_at_steady, last_snapshot_it
         window = list(pending)
         pending.clear()
         compact = csv_logger is not None and not with_traj
@@ -568,6 +661,16 @@ def train_ppo(
                 full = drain_window([rec for _, _, rec in window])
                 for r in full:
                     csv_logger.log_records({k: r[k] for k in REC_KEYS})
+        if snapshot_every and window:
+            it_last = window[-1][0]  # == `iteration`: the device loop state
+            if it_last - last_snapshot_it >= snapshot_every:
+                from tpu_plume.data.checkpoint import save_checkpoint as _save
+
+                _save(
+                    os.path.join(out_dir, f"checkpoint_iter{it_last:06d}"),
+                    _full_bundle(),
+                )
+                last_snapshot_it = it_last
 
     while episodes < cfg.total_episodes:
         if max_iterations is not None and iteration >= max_iterations:
@@ -601,17 +704,9 @@ def train_ppo(
     from tpu_plume.data.checkpoint import save_checkpoint
     from tpu_plume.data.torch_export import export_actor_critic_pth
 
-    params = jax.device_get(loop.train_state.params)
-    save_checkpoint(
-        os.path.join(out_dir, "checkpoint"),
-        {
-            "params": params,
-            "opt_state": jax.device_get(loop.train_state.opt_state),
-            "curriculum": jax.device_get(loop.curriculum),
-            "key": jax.device_get(loop.key),
-            "episodes": episodes,
-        },
-    )
+    bundle = _full_bundle()
+    params = bundle["params"]
+    save_checkpoint(os.path.join(out_dir, "checkpoint"), bundle)
     model_dir = os.path.join(out_dir, "model")
     os.makedirs(model_dir, exist_ok=True)
     if cfg.ppo.arch == "mlp" and len(cfg.ppo.hidden_sizes) == 2:
