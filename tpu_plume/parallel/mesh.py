@@ -72,3 +72,16 @@ def shard_loop_carry(loop: Any, mesh: Mesh) -> Any:
         curriculum=replicate(loop.curriculum, mesh),
         key=jax.device_put(loop.key, NamedSharding(mesh, P())),
     )
+
+
+def shard_gail_carry(carry: Any, mesh: Mesh) -> Any:
+    """Lay out a gail_trainer.GAILCarry for SPMD: the PPO loop as
+    ``shard_loop_carry``; the discriminator learner replicated — its
+    minibatch indexes the env-sharded policy batch and the replicated
+    expert bank locally, and XLA all-reduces its gradients exactly like the
+    policy's (the NCCL role in a torch DDP GAIL; the reference is
+    single-GPU, PPOV1.1/train_ppo_gail.py)."""
+    return carry.replace(
+        ppo=shard_loop_carry(carry.ppo, mesh),
+        disc_state=replicate(carry.disc_state, mesh),
+    )
