@@ -13,7 +13,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_plume.core.config import EnvConfig, EvalConfig
-from tpu_plume.evaluation.learned_guide import make_learned_guide
+from tpu_plume.evaluation.learned_guide import (
+    derive_learned_guide_config,
+    load_localizer_meta,
+    make_learned_guide,
+)
 
 
 def _fixed_model(est_norm):
@@ -90,6 +94,40 @@ def test_unstable_estimates_defer_to_policy():
         assert int(a) == 0
 
 
+def test_derive_gate_reproduces_hand_tuned_operating_points():
+    """The gate derivation (0.6x median val error, clamped [4, 32]) must
+    land on the three operating points the round-3 quality tables were
+    hand-tuned to: tol~6 at ~10 px (iso), ~12 at ~19 px (wrf), ~24 at
+    ~31 px (gridded K=16) — plus the clamps."""
+    assert derive_learned_guide_config(10.0)["stable_tol"] == 6.0
+    assert abs(derive_learned_guide_config(19.0)["stable_tol"] - 11.4) < 1e-6
+    assert abs(derive_learned_guide_config(31.0)["stable_tol"] - 18.6) < 1e-6
+    assert derive_learned_guide_config(2.0)["stable_tol"] == 4.0   # floor
+    assert derive_learned_guide_config(90.0)["stable_tol"] == 32.0  # ceiling
+    d = derive_learned_guide_config(10.0, window=64)
+    assert d["check_every"] == 4 and d["min_window"] == 8
+    d32 = derive_learned_guide_config(10.0, window=32)
+    assert d32["check_every"] == 2 and d32["min_window"] == 8
+
+
+def test_localizer_meta_roundtrip(tmp_path):
+    """train_source_lstm persists localizer_meta.npz next to the
+    checkpoint; load_localizer_meta finds it from both the run dir and
+    the checkpoint subdir, and returns None for runs predating it."""
+    import os
+
+    out = tmp_path / "loc"
+    os.makedirs(out)
+    np.savez(out / "localizer_meta.npz", val_mean_err_px=12.5,
+             val_median_err_px=10.0, window=64, grid_size=500.0,
+             conc_peak=100.0)
+    for probe in (str(out), str(out / "gaussian_params")):
+        meta = load_localizer_meta(probe)
+        assert meta is not None and meta["val_median_err_px"] == 10.0
+        assert meta["window"] == 64
+    assert load_localizer_meta(str(tmp_path / "nowhere")) is None
+
+
 def test_learned_guided_eval_end_to_end_anisotropic():
     """Full loop on the ANISOTROPIC field (where the trilateration guide
     refuses): train the localizer on scripted-surveyor flights, then eval
@@ -126,6 +164,9 @@ def test_learned_guided_eval_end_to_end_anisotropic():
         res = train_source_lstm(None, os.path.join(td, "loc"),
                                 flights_path=fp, window=32, epochs=60,
                                 lr=3e-3, seed=0)
+        meta = load_localizer_meta(os.path.join(td, "loc"))
+        assert meta is not None and meta["window"] == 32
+        assert meta["val_median_err_px"] == res.extra["val_median_err_px"]
         guide = make_learned_guide(
             cfg, res.params, window=32, min_window=12, check_every=4,
             stable_tol=25.0,

