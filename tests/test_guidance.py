@@ -315,3 +315,124 @@ def test_guided_precision_on_v2_1_preset():
         guide=make_guide(cfg, terminate_radius=5.0, success_radius=50.0),
     )
     assert (mg.deviations <= 5.0).mean() >= 0.4
+
+
+# ---- round-4 decomposition hooks (scripts/guide_truth.py) -----------------
+
+
+def _converged_state(cfg, gcfg, src, seed=0, n=24):
+    gs = guide_init(gcfg)
+    rng = np.random.default_rng(seed)
+    step = jax.jit(lambda gs, p, c, a: guide_step(gs, p, c, a, cfg, gcfg))
+    sigma2 = cfg.plume_sigma**2
+    for _ in range(n):
+        pos = jnp.asarray(src + rng.uniform(-70, 70, 2), jnp.float32)
+        d2 = jnp.sum((pos - src) ** 2)
+        conc = cfg.conc_peak * jnp.exp(-d2 / (2 * sigma2))
+        gs, _, _ = step(gs, pos, conc, jnp.int32(0))
+    assert bool(gs.est_ok)
+    return gs
+
+
+def test_truth_injection_steers_to_truth():
+    """The diagnostic hook (guide_step(true_source=...)) must keep the
+    engagement FSM (here: a validated fit steers) but drive the phase
+    lookahead with the TRUE source — and must disable the radial
+    calibration (truth needs none)."""
+    cfg = EnvConfig(turbulence_intensity=1e-9)
+    gcfg = GuideConfig(min_samples=5)
+    src = jnp.array([250.0, 250.0])
+    truth = jnp.array([490.0, 250.0, 0.0])  # 240 px east of the fit's source
+    gs = _converged_state(cfg, gcfg, src)
+
+    # 120 px from each, on the line between them: approaching one means
+    # retreating from the other — the two arms must pick opposite moves
+    pos = jnp.array([370.0, 250.0], jnp.float32)
+    d2 = jnp.sum((pos - src) ** 2)
+    conc = cfg.conc_peak * jnp.exp(-d2 / (2 * cfg.plume_sigma**2))
+
+    _, a_est, on_e = jax.jit(
+        lambda g: guide_step(g, pos, conc, jnp.int32(0), cfg, gcfg))(gs)
+    gs_t, a_tru, on_t = jax.jit(
+        lambda g: guide_step(g, pos, conc, jnp.int32(0), cfg, gcfg,
+                             true_source=truth))(gs)
+    assert bool(on_e) and bool(on_t)
+    deltas = np.asarray(methane._action_delta(jnp.arange(5), cfg))[:, :2]
+    land_e = np.asarray(pos) + deltas[int(a_est)]
+    land_t = np.asarray(pos) + deltas[int(a_tru)]
+    # the injected step moves toward truth; the plain step toward the fit
+    assert np.linalg.norm(land_t - np.asarray(truth[:2])) < np.linalg.norm(
+        np.asarray(pos) - np.asarray(truth[:2]))
+    assert np.linalg.norm(land_e - np.asarray(src)) < np.linalg.norm(
+        np.asarray(pos) - np.asarray(src))
+    # calibration frozen on truth (the plain path may keep updating it)
+    assert float(gs_t.rad_bias) == float(gs.rad_bias)
+
+
+def test_truth_injection_harness_hook():
+    """evaluate_policy feeds the episode's true source to guides marked
+    needs_source — the truth arm of the round-4 decomposition must score
+    at least as well as the estimate arm on the same seeds."""
+    cfg = EnvConfig(max_steps=800, plume_sigma=500 / 16)
+    ev = EvalConfig(episodes=48, success_distance=40.0)
+    apply_fn = _raster_apply(cfg)
+    init, step_fn = make_guide(cfg)
+    gcfg = GuideConfig()
+
+    def truth_fn(gs, pos, conc, act, source):
+        return guide_step(gs, pos, conc, act, cfg, gcfg, true_source=source)
+
+    truth_fn.needs_source = True
+    m_tru = evaluate_policy(
+        {}, apply_fn, cfg, ev, jax.random.PRNGKey(1), guide=(init, truth_fn))
+    m_est = evaluate_policy(
+        {}, apply_fn, cfg, ev, jax.random.PRNGKey(1), guide=(init, step_fn))
+    assert m_tru.success.mean() >= m_est.success.mean() - 1e-6
+    assert m_tru.success.sum() >= 20
+
+
+def test_round4_knobs_compile_and_run():
+    """The round-4 A/B knobs (hover veto, est-aware signs, tangential band,
+    committed-estimate EMA) must jit, vmap, and keep the guide functional —
+    they ship default-off but remain measured, documented levers."""
+    cfg = EnvConfig(turbulence_intensity=1e-9)
+    gcfg = GuideConfig(
+        min_samples=5, hover_veto_margin=5.0, est_signs=True,
+        tangential_band=10.0, est_ema=0.3,
+    )
+    src = jnp.array([250.0, 250.0])
+    gs = _converged_state(cfg, gcfg, src)
+    assert float(jnp.linalg.norm(gs.est - src)) < 2.0
+
+    # vmapped batch step (the harness' calling convention)
+    B = 4
+    gsb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), gs)
+    pos = jnp.broadcast_to(jnp.array([320.0, 250.0]), (B, 2))
+    conc = jnp.full((B,), 30.0)
+    act = jnp.zeros((B,), jnp.int32)
+    step = jax.jit(jax.vmap(
+        lambda g, p, c, a: guide_step(g, p, c, a, cfg, gcfg)))
+    gsb2, actions, on = step(gsb, pos, conc, act)
+    assert actions.shape == (B,)
+    assert bool(jnp.all((actions >= 0) & (actions < cfg.num_actions)))
+    assert bool(jnp.all(jnp.isfinite(gsb2.est)))
+
+
+def test_est_ema_blends_committed_refresh():
+    """With est_ema < 1, a validated refresh during a committed dive BLENDS
+    into est_good instead of replacing it."""
+    cfg = EnvConfig(turbulence_intensity=1e-9)
+    gcfg = GuideConfig(min_samples=5, est_ema=0.25)
+    src = jnp.array([250.0, 250.0])
+    gs = _converged_state(cfg, gcfg, src)
+    offset = jnp.array([12.0, -8.0])
+    gs = gs.replace(committed=jnp.ones((), bool), est_good=gs.est + offset)
+
+    pos = jnp.asarray(src + jnp.array([55.0, 30.0]), jnp.float32)
+    d2 = jnp.sum((pos - src) ** 2)
+    conc = cfg.conc_peak * jnp.exp(-d2 / (2 * cfg.plume_sigma**2))
+    gs2, _, _ = jax.jit(
+        lambda g: guide_step(g, pos, conc, jnp.int32(0), cfg, gcfg))(gs)
+    # fit revalidates at ~src: est_good' ~= 0.75*(src+offset) + 0.25*src
+    expect = np.asarray(gs.est + 0.75 * offset)
+    assert np.linalg.norm(np.asarray(gs2.est_good) - expect) < 2.0

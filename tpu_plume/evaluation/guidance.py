@@ -174,6 +174,60 @@ class GuideConfig:
     # fixable calibration lag — delaying them only adds rim exposure.
     # Kept as a knob; 0/1 disable.
     dive_warmup: int = 0
+    # --- hover safety veto (round-4, scripts/guide_truth.py) -----------
+    # The truth-injection decomposition showed engagement, not estimation,
+    # owns the gap to the 85-87% phase ceiling: 15.2% of episodes cross
+    # the rim ACCIDENTALLY during hover (landing 45-50, s@40 = 0) because
+    # the hover FSM trusts the single-cell pointwise distance, which a
+    # noise dip inflates past probe_in_min while the true distance is one
+    # move from the terminator.  At those same moments the (often
+    # unvalidated) fit estimate carries ~22 px error — this veto replaces
+    # any hover/rally action whose est-implied landing is within
+    # terminate_radius + hover_veto_margin (gated on veto_min_inliers /
+    # veto_se).  MEASURED NEGATIVE and ships disabled (0): a 22 px-error
+    # instrument cannot police a 25 px move margin — at every margin
+    # (3/5/8/10) and with either replacement (max retreat or the FSM's
+    # own back-out) it starves the trilateration of deep samples and
+    # collapses the commit rate 85% -> 69% (s@40 65.4 -> 53-56, RESULTS.md
+    # round-4 decomposition).  Kept as the documented negative.
+    hover_veto_margin: float = 0.0
+    veto_min_inliers: int = 10
+    veto_se: float = 12.0
+    # --- estimate-aware hover geometry (round-4, scripts/guide_truth.py)
+    # Unlike the veto above and the round-3 probe_in_min/probe_consistency
+    # arms (all measured NEGATIVE: anything that blocks or delays in-probes
+    # starves the trilateration), these two reshape the probe GEOMETRY at
+    # the same cadence.  Both engage only when the fit carries moderate
+    # confidence (veto_min_inliers / veto_se gates above; ~22 px typical
+    # error at the accident moments, good enough for signs and axis
+    # ratios even when not for a dive).
+    # est_signs: override the move-inferred per-axis inward signs with
+    # sign(est - pos) when that axis' estimated gap exceeds est_sign_min —
+    # attacks the misjudged-out-step accident class (6.2% of episodes:
+    # wrong inward-sign inference walks IN thinking it walks out).
+    # MEASURED NEUTRAL (64.4 vs 65.4 baseline at n=500 — inside noise);
+    # ships disabled.
+    est_signs: bool = False
+    est_sign_min: float = 25.0
+    # tangential_band: for reads in the spike-ambiguous band
+    # [probe_in_min, probe_in_min + tangential_band), probe the axis with
+    # the SMALLER estimated gap (mostly tangential: even a fully baited
+    # read cannot cross the rim on a tangential move), keeping the
+    # alternating radial probes for deep reads beyond the band where a
+    # ~15 px spike cannot hide the terminator.  MEASURED NEGATIVE (64.2,
+    # commit rate UP 84.8 -> 87.2 but committed success DOWN 77.1 -> 73.2:
+    # tangential arcs validate the fit on shallower geometry); 0 disables.
+    tangential_band: float = 0.0
+    # est_ema: once committed, blend each newly VALIDATED fix into the
+    # committed estimate instead of replacing it (1.0 = replace, the
+    # round-3 behavior) — attacks fit jitter between validated fixes
+    # during the dive (the 5.4pp estimator bucket of the truth-injection
+    # decomposition).  MEASURED POSITIVE and on by default: +1.2/+1.55pp
+    # s@40 at 2000 eps on seeds 1/0 (64.0->65.2, 63.45->65.0), monotone
+    # across 0.5/0.3/0.2 at n=500, mechanism-consistent (committed-dive
+    # success 76.3->77.7 / 77.6->78.0) — see RESULTS.md round-4
+    # decomposition.
+    est_ema: float = 0.2
 
 
 _NOISE_STD_FRAC = 0.623  # std of (|N(0,1)| + 0.3 sin*cos + 0.2 U) per unit TI
@@ -458,9 +512,19 @@ def guide_step(
     policy_action: jnp.ndarray,
     cfg: EnvConfig,
     gcfg: GuideConfig,
+    true_source: jnp.ndarray | None = None,
 ):
     """Ingest the current (pos, conc) sample, refresh the estimate, and
-    return (state', action, overriding: bool)."""
+    return (state', action, overriding: bool).
+
+    ``true_source`` is a DIAGNOSTIC-ONLY injection (scripts/guide_truth.py):
+    the full FSM runs unchanged — hover entry, sample acceptance, gates,
+    commitment timing — but once the controller steers, the phase
+    lookahead is driven by the TRUE source instead of the fit (and the
+    radial calibration is zeroed: truth needs none).  The guided score
+    with truth injected is the controller's own ceiling at its real
+    engagement pattern, splitting the gap to the perfect-information
+    phase oracle into estimator-error vs engagement-latency buckets."""
     # Debias the additive turbulence before inverting: its mean is
     # TI*(E|N| + 0.2*E[U]) = TI*(sqrt(2/pi) + 0.1) (the sin*cos term
     # averages ~0 spatially) — without this, every far-field sample's
@@ -550,10 +614,27 @@ def guide_step(
     csy = jnp.where(pos[1] < g2, 1.0, -1.0)
     sx = jnp.where(know_x, sign_x, csx)
     sy = jnp.where(know_y, sign_y, csy)
+    est_conf = (fit_n >= gcfg.veto_min_inliers) & (fit_se <= gcfg.veto_se)
+    gap = est - pos[:2]
+    if gcfg.est_signs:
+        # the fit's per-axis SIGN is right whenever |gap| exceeds its own
+        # error (~22 px at the accident moments) — see GuideConfig.est_signs
+        sx = jnp.where(
+            est_conf & (jnp.abs(gap[0]) >= gcfg.est_sign_min),
+            jnp.sign(gap[0]), sx)
+        sy = jnp.where(
+            est_conf & (jnp.abs(gap[1]) >= gcfg.est_sign_min),
+            jnp.sign(gap[1]), sy)
     in_x = jnp.where(sx > 0, 3, 4)   # x move judged inward
     in_y = jnp.where(sy > 0, 1, 2)
 
     alt_x = gs.axis_next == 0
+    if gcfg.tangential_band > 0:
+        # spike-ambiguous reads probe the more-tangential axis (see
+        # GuideConfig.tangential_band)
+        ambig = d_point < gcfg.probe_in_min + gcfg.tangential_band
+        alt_x = jnp.where(
+            est_conf & ambig, jnp.abs(gap[0]) <= jnp.abs(gap[1]), alt_x)
     probe_in = jnp.where(alt_x, in_x, in_y)
     # Bounce pattern: an inward probe is taken ONLY from d_hat >=
     # probe_in_min, where even a fully radial 25-px move (plus turbulence
@@ -607,8 +688,18 @@ def guide_step(
     # the committed estimate refreshes whenever the gates (or the fallback's
     # geometry conditions) pass — a dive in progress uses the freshest
     # validated fix, and keeps the last good one when the gates flicker
-    est_good = jnp.where(ok | soft, est, gs.est_good)
-    est_used = jnp.where(ok, est, est_good)
+    est_refresh = est
+    if gcfg.est_ema < 1.0:
+        # blend validated refreshes during a dive (see GuideConfig.est_ema)
+        est_refresh = jnp.where(
+            gs.committed,
+            (1.0 - gcfg.est_ema) * gs.est_good + gcfg.est_ema * est,
+            est,
+        )
+    est_good = jnp.where(ok | soft, est_refresh, gs.est_good)
+    est_used = jnp.where(ok, est_refresh, est_good)
+    if true_source is not None:  # diagnostic: perfect fix, same engagement
+        est_used = true_source[:2]
     steer = ok | committed
 
     # ---- radial calibration of the committed estimate ----------------
@@ -616,7 +707,7 @@ def guide_step(
     # concentrations is ~3x more accurate radially than the fit)
     rad_bias, bias_ok = gs.rad_bias, gs.bias_ok
     bias = jnp.zeros((), jnp.float32)
-    if gcfg.bias_alpha > 0:
+    if gcfg.bias_alpha > 0 and true_source is None:
         d_used_here = jnp.linalg.norm(pos[:2] - est_used)
         good_read = (conc_n >= gcfg.bias_conc_min) & steer
         bias_raw = jnp.clip(
@@ -676,6 +767,24 @@ def guide_step(
     )
     rally = jnp.argmin(jnp.where(jnp.arange(cfg.num_actions) == 0, 1e9, d_rally))
     hover_action = jnp.where(have_d, hover_action, rally)
+
+    # ---- hover safety veto (see GuideConfig.hover_veto_margin) --------
+    if gcfg.hover_veto_margin > 0:
+        d_land_est = jnp.linalg.norm(
+            pos[None, :2] + deltas - est[None, :], axis=-1
+        )
+        veto_on = (fit_n >= gcfg.veto_min_inliers) & (fit_se <= gcfg.veto_se)
+        risky = d_land_est <= gcfg.terminate_radius + gcfg.hover_veto_margin
+        # Replacement preference: the FSM's own back-out move (keeps the
+        # bounce pattern and the fit's sample stream intact — a max-retreat
+        # replacement measured 10pp WORSE: it drags the drone out of the
+        # annulus and collapses the commit rate), escalating to the
+        # farthest landing only when the back-out itself reads risky.
+        retreat = jnp.argmax(d_land_est)
+        alt = jnp.where(risky[out_step], retreat, out_step)
+        hover_action = jnp.where(
+            veto_on & risky[hover_action], alt, hover_action
+        ).astype(jnp.int32)
 
     steer = steer & ~refuted
     hovering = (mode == 1) & ~steer

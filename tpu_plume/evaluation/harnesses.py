@@ -66,6 +66,10 @@ class EvalMetrics:
     guide_refutes: np.ndarray | None = None
     guide_dmin: np.ndarray | None = None    # closest committed approach to est
     guide_committed: np.ndarray | None = None  # committed at episode end
+    # bank-match guides (evaluation/bank_guide.py): identified bank row at
+    # episode end + the episode's true row (confusion-rate diagnostic)
+    guide_match: np.ndarray | None = None
+    field_idx: np.ndarray | None = None
 
     def save_csv(self, path: str):
         """The V1.1 evaluator's evaluation_results.csv schema
@@ -97,7 +101,7 @@ class EvalMetrics:
         # only for guided runs so plain rows stay reference-shaped)
         for k in ("guide_hover", "guide_fit_ok", "guide_samples",
                   "guide_est", "guide_refutes", "guide_dmin",
-                  "guide_committed"):
+                  "guide_committed", "guide_match", "field_idx"):
             v = getattr(self, k)
             if v is not None:
                 data[k] = v
@@ -231,9 +235,27 @@ def evaluate_policy(
                     action = jax.random.categorical(k_act, logits, axis=-1)
             if guide is not None:
                 _, g_fn = guide
-                new_guide, action, _ = jax.vmap(g_fn)(
-                    c.guide_state, c.env_state.pos, c.env_state.conc, action
-                )
+                if getattr(g_fn, "needs_source", False):
+                    # diagnostic guides (scripts/guide_truth.py) receive the
+                    # episode's TRUE source as a 5th argument
+                    new_guide, action, _ = jax.vmap(g_fn)(
+                        c.guide_state, c.env_state.pos, c.env_state.conc,
+                        action, c.env_state.field.source,
+                    )
+                elif getattr(g_fn, "needs_bank", False):
+                    # bank-match guides (evaluation/bank_guide.py) receive
+                    # the TRACED bank (shared, not per-env) + episode step
+                    new_guide, action, _ = jax.vmap(
+                        g_fn, in_axes=(0, 0, 0, 0, None, 0)
+                    )(
+                        c.guide_state, c.env_state.pos, c.env_state.conc,
+                        action, bank, c.env_state.t,
+                    )
+                else:
+                    new_guide, action, _ = jax.vmap(g_fn)(
+                        c.guide_state, c.env_state.pos, c.env_state.conc,
+                        action,
+                    )
             else:
                 new_guide = c.guide_state
             step_keys = jax.random.split(k_step, n)
@@ -300,7 +322,11 @@ def evaluate_policy(
                              jnp.zeros_like(carry.guide_state.est_ok,
                                             jnp.float32)),
                      getattr(carry.guide_state, "committed",
-                             jnp.zeros_like(carry.guide_state.est_ok)))
+                             jnp.zeros_like(carry.guide_state.est_ok)),
+                     # bank-match guides: identified row vs the true row
+                     getattr(carry.guide_state, "match",
+                             jnp.zeros_like(carry.guide_state.mode)),
+                     carry.env_state.field.idx)
         else:
             gdiag = None
         return (deviation, carry.steps, carry.stopped_early, peak_pred,
@@ -326,6 +352,8 @@ def evaluate_policy(
         guide_refutes=None if gdiag is None else np.asarray(gdiag[4]),
         guide_dmin=None if gdiag is None else np.asarray(gdiag[5]),
         guide_committed=None if gdiag is None else np.asarray(gdiag[6]),
+        guide_match=None if gdiag is None else np.asarray(gdiag[7]),
+        field_idx=None if gdiag is None else np.asarray(gdiag[8]),
     )
 
 
