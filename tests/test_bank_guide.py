@@ -1,0 +1,135 @@
+"""Bank-match guidance (evaluation/bank_guide.py): identification accuracy,
+gating behavior, and end-to-end guided success on gridded banks.
+
+The reference's evaluators assume known-field information of exactly this
+class (PPOV1.1/evaluate_model.py:25-37 gates on the episode's known peak);
+here the bank row is identified in-scan from the flight's own samples.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_plume.core.config import EnvConfig, EvalConfig
+from tpu_plume.evaluation import evaluate_policy
+from tpu_plume.evaluation.bank_guide import make_bank_guide
+from tpu_plume.fields.gridded import synthesize_bank
+
+
+def _raster_apply(cfg):
+    """Boustrophedon surveyor (mirrors tests/test_guidance.py): sweep east,
+    step south a line, sweep west — guarantees plume contact without a
+    trained policy."""
+
+    def apply_fn(params, obs):
+        x = obs[..., 0] * cfg.grid_size
+        y = obs[..., 1] * cfg.grid_size
+        g = cfg.grid_size
+        line = jnp.floor(y / 30.0)
+        going_right = jnp.mod(line, 2) == 0
+        at_right = x >= g - 30.0
+        at_left = x <= 30.0
+        turn = jnp.where(going_right, at_right, at_left)
+        action = jnp.where(turn, 1, jnp.where(going_right, 3, 4))
+        logits = jax.nn.one_hot(action, cfg.num_actions) * 50.0
+        return logits, jnp.zeros(obs.shape[:-1])
+
+    return apply_fn
+
+
+def test_bank_guide_requires_gridded():
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_bank_guide(EnvConfig(), 4)
+
+
+def _isotropic_bank(key, cfg, K):
+    """A contact-rich bank: K wide isotropic Gaussians at random sources
+    (the anisotropic synthesize_bank's ~8 px ridges give a 25 px-step
+    surveyor too little contact to exercise the END-TO-END path in a
+    small test; ridge identification is covered separately below)."""
+    lo, hi = cfg.source_padding, cfg.grid_size - cfg.source_padding
+    sources = jax.random.uniform(key, (K, 2), jnp.float32, lo, hi)
+    g = cfg.grid_size
+    ix = jnp.arange(g, dtype=jnp.float32)[:, None]
+    iy = jnp.arange(g, dtype=jnp.float32)[None, :]
+
+    def one(src):
+        d2 = (ix - src[0]) ** 2 + (iy - src[1]) ** 2
+        return cfg.conc_peak * jnp.exp(-d2 / (2.0 * cfg.plume_sigma**2))
+
+    from tpu_plume.fields.gridded import FieldBank
+
+    return FieldBank(conc=jax.vmap(one)(sources), source=sources)
+
+
+def test_bank_guide_identifies_and_dives():
+    """End-to-end on a K=16 bank of wide fields: the streaming match
+    identifies the episode's row from the flight's own samples and the
+    dive controller converts that into guided successes well above the
+    raw surveyor."""
+    cfg = EnvConfig(plume_model="gridded", max_steps=800,
+                    plume_sigma=500 / 16)
+    K = 16
+    bank = _isotropic_bank(jax.random.PRNGKey(0), cfg, K)
+    ev = EvalConfig(episodes=64, success_distance=40.0)
+    apply_fn = _raster_apply(cfg)
+
+    mg = evaluate_policy(
+        {}, apply_fn, cfg, ev, jax.random.PRNGKey(1), bank=bank,
+        guide=make_bank_guide(cfg, K),
+    )
+    mp = evaluate_policy(
+        {}, apply_fn, cfg, ev, jax.random.PRNGKey(1), bank=bank,
+    )
+    # identification: among episodes whose gate opened, the matched row is
+    # overwhelmingly the true row
+    gated = mg.guide_fit_ok
+    assert gated.sum() >= 24, int(gated.sum())
+    correct = (mg.guide_match == mg.field_idx)[gated]
+    assert correct.mean() >= 0.8, float(correct.mean())
+    # guided success clears the raw surveyor by a wide margin
+    assert mg.success.mean() > mp.success.mean() + 0.15, (
+        float(mg.success.mean()), float(mp.success.mean()))
+
+
+def test_bank_guide_on_anisotropic_ridges():
+    """On the thin-ridge synthesized bank contact is scarce (the known
+    loss pool), but every episode that DOES gate must have identified the
+    right row — the matched source is exact, so gated dives succeed."""
+    cfg = EnvConfig(plume_model="gridded", max_steps=800,
+                    plume_sigma=500 / 16)
+    K = 16
+    bank = synthesize_bank(jax.random.PRNGKey(0), cfg, num_fields=K)
+    ev = EvalConfig(episodes=96, success_distance=40.0)
+    mg = evaluate_policy(
+        {}, _raster_apply(cfg), cfg, ev, jax.random.PRNGKey(1), bank=bank,
+        guide=make_bank_guide(cfg, K),
+    )
+    gated = mg.guide_fit_ok
+    assert gated.sum() >= 10, int(gated.sum())
+    correct = (mg.guide_match == mg.field_idx)[gated]
+    assert correct.mean() >= 0.8, float(correct.mean())
+    assert mg.success[gated].mean() >= 0.7, float(mg.success[gated].mean())
+
+
+def test_bank_guide_gate_needs_contact():
+    """Without in-plume samples every row scores identical noise — the
+    identification gate must stay shut (min_contact)."""
+    cfg = EnvConfig(plume_model="gridded", plume_sigma=500 / 16)
+    K = 4
+    bank = synthesize_bank(jax.random.PRNGKey(0), cfg, num_fields=K)
+    init, step = make_bank_guide(cfg, K)
+
+    gs = init
+    pos = jnp.array([5.0, 5.0], jnp.float32)  # far corner: no contact
+    t = jnp.zeros((), jnp.int32)
+    stepj = jax.jit(lambda g, p, c, a, b, t: step(g, p, c, a, b, t))
+    for i in range(32):
+        gs, action, on = stepj(gs, pos, jnp.float32(0.0), jnp.int32(3),
+                               bank, t + i)
+    assert not bool(gs.est_ok)
+    assert int(action) == 3  # policy action passes through

@@ -324,6 +324,7 @@ def cmd_eval(args):
     from tpu_plume.models.recurrent import RecurrentActorCritic
 
     rnn = model if isinstance(model, RecurrentActorCritic) else None
+    bank = _make_bank(args, cfg)
     guide = None
     if args.guide == "fit":
         from tpu_plume.evaluation.guidance import make_guide
@@ -390,12 +391,28 @@ def cmd_eval(args):
                          if args.guide_check_every is None
                          else args.guide_check_every),
         )
+    elif args.guide == "bank":
+        from tpu_plume.evaluation.bank_guide import make_bank_guide
+
+        # the eval-time bank and its per-row sources are known (the
+        # reference's evaluators assume the same class of field knowledge,
+        # PPOV1.1/evaluate_model.py:25-37): identify the episode's row from
+        # the flight's own samples, dive at the matched row's exact source
+        if bank is None:
+            raise SystemExit("--guide bank requires a gridded bank "
+                             "(--bank / --synthesize-bank)")
+        guide = make_bank_guide(
+            cfg.env, int(bank.conc.shape[0]),
+            terminate_radius=(50.0 if args.goal_radius is None
+                              else args.goal_radius),
+            success_radius=cfg.eval.success_distance,
+        )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
         params, model.apply if model is not None else None,
         cfg.env, cfg.eval, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes, stop_gate=stop_gate, greedy=not args.sample,
-        goal_radius=args.goal_radius, bank=_make_bank(args, cfg), rnn=rnn,
+        goal_radius=args.goal_radius, bank=bank, rnn=rnn,
         guide=guide, oracle=oracle,
         track_trajectories=n_eval if (args.localize or args.save_flights) else 0,
     )
@@ -407,6 +424,15 @@ def cmd_eval(args):
             args.save_flights, trajectories=m.trajectories, sources=m.sources
         )
     summary = summarize(m)
+    if args.guide == "bank" and m.guide_match is not None:
+        import numpy as np
+
+        gated = np.asarray(m.guide_fit_ok)
+        correct = np.asarray(m.guide_match) == np.asarray(m.field_idx)
+        summary["bank_gate_rate"] = float(gated.mean())
+        summary["bank_match_accuracy"] = (
+            float(correct[gated].mean()) if gated.any() else 0.0
+        )
     if args.goal_radius is not None:
         import numpy as np
 
@@ -776,7 +802,7 @@ def build_parser():
                          "history and report the localization error "
                          "alongside the endpoint deviation")
     sp.add_argument("--localize-window", type=int, default=64)
-    sp.add_argument("--guide", choices=["none", "fit", "learned"],
+    sp.add_argument("--guide", choices=["none", "fit", "learned", "bank"],
                     default="none",
                     help="terminal guidance: 'fit' trilaterates the source "
                          "online from the agent's own concentration samples "
@@ -785,7 +811,11 @@ def build_parser():
                          "'learned' runs a trained source-localizer LSTM "
                          "(--guide-ckpt) inside the eval scan and drives "
                          "the same phase controller — works on anisotropic "
-                         "and gridded fields (evaluation.learned_guide). "
+                         "and gridded fields (evaluation.learned_guide); "
+                         "'bank' identifies the episode's gridded-bank row "
+                         "from the flight's own samples and dives at the "
+                         "matched row's known source (evaluation.bank_guide; "
+                         "gridded banks only). "
                          "Reported separately from protocol-faithful rows")
     sp.add_argument("--guide-ckpt",
                     help="localizer checkpoint dir for --guide learned "
