@@ -135,3 +135,21 @@ def test_flux_study_estimated_positions_end_to_end():
     # joint pipeline meets the README <20% strength goal
     assert out["median_rel_error_localized"] < 0.15, out
     assert out["within_20pct_localized"] > 0.7, out
+
+
+def test_flux_study_coverage_survey_beats_random():
+    """Round-4 VERDICT #8: the coverage-designed raster survey must lift
+    the localized-source fraction and the OVERALL within-20% rate well
+    above the random walk (measured at full scale: localized 43% -> 88-92%,
+    within-20% 64% -> 85-87%; see RESULTS.md round 4)."""
+    from tpu_plume.evaluation.oracle import make_oracle
+
+    cfg = EnvConfig(num_sources=3, max_steps=10000)
+    kw = dict(num_episodes=24, num_steps=500, estimated_positions=True)
+    ras = flux_inversion_study(
+        cfg, jax.random.PRNGKey(0), oracle=make_oracle("raster", cfg), **kw
+    )
+    rnd = flux_inversion_study(cfg, jax.random.PRNGKey(0), **kw)
+    assert ras["localized_frac"] >= rnd["localized_frac"] + 0.2, (ras, rnd)
+    assert ras["within_20pct"] >= 0.75, ras
+    assert ras["observed_frac"] >= 0.95, ras

@@ -569,15 +569,19 @@ def cmd_flux(args):
         cfg.env, num_sources=args.sources,
         plume_model=args.plume_model or cfg.env.plume_model,
     )
-    policy = params = None
-    if args.ckpt or args.pth:
+    policy = params = oracle = None
+    if args.survey == "raster":
+        from tpu_plume.evaluation.oracle import make_oracle
+
+        oracle = make_oracle("raster", env)
+    elif args.ckpt or args.pth:
         model, params = _load_params(args, cfg)
         policy = model.apply
     out = flux_inversion_study(
         env, jax.random.PRNGKey(args.seed or 0),
         num_episodes=args.episodes or 64, num_steps=args.steps,
         policy=policy, params=params,
-        estimated_positions=args.estimated,
+        estimated_positions=args.estimated, oracle=oracle,
     )
     print(json.dumps(out))
 
@@ -859,6 +863,12 @@ def build_parser():
                     help="END-TO-END pipeline: estimate source positions "
                          "from the flight data (no oracle positions) and "
                          "report joint position+strength error")
+    sp.add_argument("--survey", choices=["random", "raster"],
+                    default="random",
+                    help="survey track: 'raster' flies the non-privileged "
+                         "boustrophedon surveyor (coverage-designed — "
+                         "every dispersion band visited) instead of the "
+                         "random walk / trained policy")
     sp.set_defaults(fn=cmd_flux)
 
     sp = sub.add_parser("inspect-nc", help="dump NetCDF dataset schema")

@@ -231,6 +231,7 @@ def flux_inversion_study(
     policy: Optional[Callable] = None,   # (obs[N,D]) -> logits; None = random
     params=None,
     estimated_positions: bool = False,
+    oracle: Optional[Callable] = None,   # state -> action; overrides policy
 ) -> dict:
     """Fly ``num_episodes`` surveys, collect (position, conc) samples, invert
     fluxes per episode, and report relative-error statistics against the
@@ -260,7 +261,14 @@ def flux_inversion_study(
         def body(carry, xs):
             env_state, obs = carry
             noise_t, gumbel_t = xs
-            if policy is not None:
+            if oracle is not None:
+                # coverage-designed survey (e.g. the non-privileged raster
+                # surveyor, evaluation/oracle.py): a deterministic sweep
+                # whose track visits every dispersion band — raises the
+                # per-episode localized-source fraction far above a random
+                # or chemotaxis track (round-3 VERDICT #8 / weak #6)
+                action = jax.vmap(oracle)(env_state)
+            elif policy is not None:
                 logits, _ = policy(params, obs)
                 action = jnp.argmax(logits + gumbel_t, axis=-1)
             else:
