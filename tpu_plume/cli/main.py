@@ -99,6 +99,8 @@ def _apply_overrides(cfg, args):
         ppo = dataclasses.replace(ppo, entropy_beta=args.entropy)
     if getattr(args, "bf16", False):
         ppo = dataclasses.replace(ppo, bf16_compute=True)
+    if getattr(args, "bf16_update", False):
+        ppo = dataclasses.replace(ppo, bf16_update=True)
     if getattr(args, "hidden", None):
         ppo = dataclasses.replace(
             ppo, hidden_sizes=tuple(int(h) for h in args.hidden.split(","))
@@ -679,6 +681,10 @@ def build_parser():
                         help="curriculum radius floor (set 50 to train at the "
                              "fixed reference-protocol radius)")
         sp.add_argument("--bf16", action="store_true")
+        sp.add_argument("--bf16-update", action="store_true",
+                        help="bfloat16 compute in the PPO update only "
+                             "(f32 rollout + f32 params) — the mixed "
+                             "split for quality-sensitive physics")
         sp.add_argument("--hidden",
                         help='trunk widths, e.g. "512,256" (default 256,128 '
                              "— the reference architecture)")

@@ -255,6 +255,15 @@ class PPOConfig:
     # properly (round 3): 16.7 -> 24.6M env-steps/s on the flagship fused
     # train step.
     bf16_compute: bool = False
+    # Mixed split (round-4 VERDICT #5): bfloat16 compute in the PPO UPDATE
+    # only (the measured 80% of the step), f32 rollout.  Params stay f32
+    # either way (flax param_dtype), so full bf16_compute is already an
+    # f32-master-weights config — this split additionally keeps the
+    # rollout's action/value path in f32, isolating whether the wrf
+    # thin-ridge quality regression under full bf16 (RESULTS.md bf16
+    # study: 38.4% guided vs f32's 48-53) lives in the rollout or the
+    # gradient mantissa.  Ignored when bf16_compute is already on.
+    bf16_update: bool = False
     # Fused Pallas fwd+bwd gradient kernel for the standard feedforward
     # ActorCritic (ops/pallas_ppo.py): activations stay in VMEM instead of
     # round-tripping HBM between the forward and backward matmuls — the

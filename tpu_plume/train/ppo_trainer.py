@@ -59,10 +59,13 @@ class TrainResult:
     out_dir: str
 
 
-def make_policy_model(cfg: TrainConfig):
+def make_policy_model(cfg: TrainConfig, dtype=None):
     """The policy network for ``cfg.ppo.arch`` — shared by trainer, eval,
-    and CLI checkpoint loading."""
-    dtype = jnp.bfloat16 if cfg.ppo.bf16_compute else jnp.float32
+    and CLI checkpoint loading.  ``dtype`` overrides the compute dtype
+    (params are f32 regardless): the bf16_update split builds a bfloat16
+    twin of the same architecture for the update-side loss."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.ppo.bf16_compute else jnp.float32
     if cfg.ppo.arch == "lstm":
         from tpu_plume.models.recurrent import RecurrentActorCritic
 
@@ -133,6 +136,12 @@ def build_train_step(
     env_cfg, ppo_cfg, cur_cfg = cfg.env, cfg.ppo, cfg.curriculum
     T = cfg.rollout.unroll_length
     rnn = make_policy_model(cfg) if ppo_cfg.arch == "lstm" else None
+    # bf16_update split: the update-side loss runs a bfloat16-compute twin
+    # of the model over the SAME f32 params; the rollout stays f32 (see
+    # PPOConfig.bf16_update)
+    update_apply = None
+    if ppo_cfg.bf16_update and not ppo_cfg.bf16_compute:
+        update_apply = make_policy_model(cfg, dtype=jnp.bfloat16).apply
     if ppo_cfg.distill_oracle:
         from tpu_plume.evaluation.oracle import make_oracle
 
@@ -183,9 +192,14 @@ def build_train_step(
                 h_init=h_init,
                 oracle_actions=traj.oracle_action,
             )
+            ts_in = (loop.train_state.replace(apply_fn=update_apply)
+                     if update_apply is not None else loop.train_state)
             train_state, loss_metrics = ppo_update_recurrent(
-                loop.train_state, rbatch, k_update, ppo_cfg
+                ts_in, rbatch, k_update, ppo_cfg
             )
+            if update_apply is not None:
+                train_state = train_state.replace(
+                    apply_fn=loop.train_state.apply_fn)
             if with_grads:
                 from tpu_plume.rl.ppo import ppo_loss_recurrent
 
@@ -211,7 +225,12 @@ def build_train_step(
                     flat(traj.oracle_action) if oracle is not None else None
                 ),
             )
-            train_state, loss_metrics = ppo_update(loop.train_state, batch, k_update, ppo_cfg)
+            ts_in = (loop.train_state.replace(apply_fn=update_apply)
+                     if update_apply is not None else loop.train_state)
+            train_state, loss_metrics = ppo_update(ts_in, batch, k_update, ppo_cfg)
+            if update_apply is not None:
+                train_state = train_state.replace(
+                    apply_fn=loop.train_state.apply_fn)
             if with_grads:
                 from tpu_plume.rl.ppo import ppo_loss
 
