@@ -357,3 +357,66 @@ def test_guided_aniso_eval_engages_and_does_not_regress():
     # it overrides (measured at 1000 eps it wins; the in-domain mode
     # SELECTION of domain_slack flips one episode of this 32-ep sample)
     assert mg.success.mean() >= mp.success.mean() - 1.0 / ev.episodes - 1e-6
+
+
+def test_ambiguity_spread_discriminates_geometry():
+    """`return_ambiguity`: the multi-start mode spread is ~0 on an
+    identifying geometry and large (>100 px) on a short single-axis
+    contact segment — the global identifiability signal the local Schur
+    theta variance cannot provide (RESULTS.md ridge-ride study)."""
+    cfg = _wrf_cfg()
+    gcfg = AnisoGuideConfig()
+    model_n = make_model_n(cfg)
+    src = jnp.array([220.0, 310.0])
+    theta = 0.9
+    u = jnp.array([np.cos(theta), np.sin(theta)])
+    v = jnp.array([-np.sin(theta), np.cos(theta)])
+    pts = [src + d * u + cw * v
+           for d in (80.0, 140.0, 220.0) for cw in np.linspace(-25., 25., 9)]
+    pos = jnp.stack(pts)
+    c = model_n(pos, src, theta)
+    w = (c >= 0.03).astype(jnp.float32)
+    *_, spread_good = fit_aniso(pos, c, w, cfg, gcfg, return_ambiguity=True)
+    assert float(spread_good) < 10.0
+    # short contact segment ALONG the ridge: the wrong-end phantom family
+    # leaves near-best modes 100+ px apart
+    pos2 = jnp.stack([src + d * u for d in np.linspace(100.0, 130.0, 8)])
+    c2 = model_n(pos2, src, theta)
+    _, _, se2, _, spread_bad = fit_aniso(
+        pos2, c2, jnp.ones((8,)), cfg, gcfg, return_ambiguity=True)
+    assert float(spread_bad) > 100.0
+    assert float(se2) > gcfg.max_se  # and the fit rightly does not validate
+
+
+def test_ride_trigger_budget_and_default_off():
+    """The ridge-ride override fires only when enabled, only on an
+    unvalidated fit with samples, and respects its step budget (ships
+    default-off: measured negative, RESULTS.md)."""
+    cfg = _wrf_cfg()
+    base = derive_aniso_config(cfg, terminate_radius=50.0, success_radius=40.0)
+    model_n = make_model_n(cfg)
+    src = jnp.array([220.0, 310.0])
+    theta = 0.9
+    u = jnp.array([np.cos(theta), np.sin(theta)])
+
+    def walk(gcfg):
+        init, step = make_aniso_guide(cfg, gcfg=gcfg)
+        step = jax.jit(step)
+        gs, n_ov = init, 0
+        # inward walk along the ridge, deep enough that conc stays under
+        # safety_conc: samples accrue but the fit cannot validate
+        for d in np.linspace(230.0, 190.0, 12):
+            p = src + d * u
+            conc_raw = model_n(p[None], src, theta)[0] * cfg.conc_peak
+            gs, _, ov = step(gs, jnp.asarray(p), conc_raw, jnp.int32(0))
+            n_ov += int(ov)
+        return gs, n_ov
+
+    assert not base.ride  # default off
+    gs, n_ov = walk(base)
+    assert int(gs.ride_count) == 0 and n_ov == 0
+    gs, n_ov = walk(dataclasses.replace(base, ride=True, ride_ambig_min=0.0))
+    assert int(gs.ride_count) == n_ov > 0
+    gs, n_ov = walk(dataclasses.replace(
+        base, ride=True, ride_ambig_min=0.0, ride_budget=2))
+    assert int(gs.ride_count) == n_ov == 2

@@ -286,3 +286,48 @@ def test_sequence_dagger_lstm_student(tmp_path):
 
     bundle = restore_checkpoint(str(tmp_path / "sdagger" / "checkpoint"))
     assert "params" in bundle
+
+
+def test_bf16_update_split_step():
+    """--bf16-update: one fused step with the bf16-compute update twin —
+    params stay f32 (master weights), the restored apply_fn is the f32
+    rollout one, and the loss actually ran in bfloat16 (differs from the
+    pure-f32 step from the same init)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_plume.rl.curriculum import curriculum_init
+    from tpu_plume.rollout.rollout import init_rollout
+    from tpu_plume.train.ppo_trainer import (
+        LoopCarry, build_train_step, make_train_state,
+    )
+
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    key = jax.random.PRNGKey(0)
+
+    def one_step(cfg):
+        ts = make_train_state(cfg, key)
+        rollout = init_rollout(
+            key, cfg.env, cfg.rollout.num_envs,
+            radius=cfg.curriculum.initial_radius,
+            explore_bonus=cfg.env.explore_bonus_init,
+        )
+        loop = LoopCarry(
+            train_state=ts, rollout=rollout,
+            curriculum=curriculum_init(cfg.curriculum, cfg.env.explore_bonus_init),
+            key=key,
+        )
+        out, stats, _ = build_train_step(cfg)(loop)
+        return ts, out, stats
+
+    bf_cfg = dataclasses.replace(
+        cfg, ppo=dataclasses.replace(cfg.ppo, bf16_update=True))
+    ts0, out, stats = one_step(bf_cfg)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(out.train_state.params))
+    assert out.train_state.apply_fn is ts0.apply_fn
+    assert np.isfinite(float(stats["loss/total"]))
+    _, _, stats_f32 = one_step(cfg)
+    assert float(stats["loss/total"]) != float(stats_f32["loss/total"])
