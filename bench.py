@@ -163,6 +163,7 @@ def measure_tpu(
     bank_kind: str = "none",
     bank_gather: str = "auto",
     bf16: bool = False,
+    bf16_update: bool = False,
 ) -> dict:
     """Fused-train-step throughput for one field configuration.
 
@@ -203,7 +204,7 @@ def measure_tpu(
         # TPU-scale minibatching: same 5 epochs, minibatch sized for MXU
         # utilization instead of the reference's CPU-era 256.
         ppo=PPOConfig(minibatch_size=batch // minibatches, epochs=5,
-                      bf16_compute=bf16),
+                      bf16_compute=bf16, bf16_update=bf16_update),
         curriculum=CurriculumConfig(),
         rollout=RolloutConfig(num_envs=num_envs, unroll_length=unroll),
     )
