@@ -39,6 +39,9 @@ ARMS = {
     "control": {},
     "ride-se": dict(ride=True, ride_ambig_min=0.0),
     "ride-ambig": dict(ride=True, ride_ambig_min=40.0),
+    # dive-jitter damping ported from the isotropic guide (round 4)
+    "ema02": dict(est_ema=0.2),
+    "ema05": dict(est_ema=0.5),
 }
 
 

@@ -408,6 +408,12 @@ def cmd_eval(args):
             terminate_radius=(50.0 if args.goal_radius is None
                               else args.goal_radius),
             success_radius=cfg.eval.success_distance,
+            # shared gate-cadence knobs: min in-plume samples before the
+            # identity gate may open, and the stability-check stride
+            min_contact=(4 if args.guide_min_window is None
+                         else args.guide_min_window),
+            check_every=(2 if args.guide_check_every is None
+                         else args.guide_check_every),
         )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(

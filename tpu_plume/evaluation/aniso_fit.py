@@ -265,6 +265,12 @@ class AnisoGuideConfig:
     #                               (noise-floored; bands compress under
     #                               real turbulence)
     ride_standoff: float = 60.0   # px; never ride inside the dive geometry
+    # est_ema: once committed, blend each newly validated fix into the
+    # committed estimate instead of replacing it (1.0 = replace) — the
+    # isotropic guide's measured-positive dive-jitter damping
+    # (guidance.py GuideConfig.est_ema, +1.2-1.55pp there).  theta is
+    # NOT blended (angle wrap); only the source block damps.
+    est_ema: float = 1.0
 
 
 @struct.dataclass
@@ -630,9 +636,18 @@ def make_aniso_guide(
 
         commit_now = ok if gcfg.commit_on_ok else jnp.zeros((), bool)
         committed = gs.committed | commit_now
-        est_good = jnp.where(ok, est, gs.est_good)
+        est_refresh = est
+        if gcfg.est_ema < 1.0:
+            # blend validated refreshes during a dive (see
+            # AnisoGuideConfig.est_ema)
+            est_refresh = jnp.where(
+                gs.committed,
+                (1.0 - gcfg.est_ema) * gs.est_good + gcfg.est_ema * est,
+                est,
+            )
+        est_good = jnp.where(ok, est_refresh, gs.est_good)
         theta_good = jnp.where(ok, theta, gs.theta_good)
-        est_used = jnp.where(ok, est, est_good)
+        est_used = jnp.where(ok, est_refresh, est_good)
         steer = ok | committed
 
         # phantom-estimate refutation (guidance.py round 3: alive inside
