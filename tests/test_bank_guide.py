@@ -116,6 +116,53 @@ def test_bank_guide_on_anisotropic_ridges():
     assert mg.success[gated].mean() >= 0.7, float(mg.success[gated].mean())
 
 
+def test_bank_guide_margin_gate_blocks_ambiguity():
+    """The score-margin gate must refuse to commit when two rows explain
+    the samples equally well (duplicate fields: ratio pinned at ~1), and
+    must still commit on a separable bank where the runner-up's error
+    dwarfs the best's."""
+    from tpu_plume.fields.gridded import FieldBank
+
+    cfg = EnvConfig(plume_model="gridded", plume_sigma=500 / 16)
+    g = cfg.grid_size
+    ix = jnp.arange(g, dtype=jnp.float32)[:, None]
+    iy = jnp.arange(g, dtype=jnp.float32)[None, :]
+
+    def gauss(src):
+        d2 = (ix - src[0]) ** 2 + (iy - src[1]) ** 2
+        return cfg.conc_peak * jnp.exp(-d2 / (2.0 * cfg.plume_sigma**2))
+
+    src_a = jnp.array([250.0, 250.0])
+    src_b = jnp.array([100.0, 400.0])
+
+    def run(bank, margin):
+        init, step = make_bank_guide(cfg, 2, margin=margin,
+                                     min_contact=2, check_every=1)
+        stepj = jax.jit(lambda gs, p, c, a, b, t: step(gs, p, c, a, b, t))
+        gs = init
+        t = jnp.zeros((), jnp.int32)
+        # walk through row 0's plume core: strong in-plume reads
+        for i in range(12):
+            pos = jnp.array([240.0 + i * 2.0, 250.0], jnp.float32)
+            conc = gauss(src_a)[jnp.int32(pos[0]), jnp.int32(pos[1])]
+            gs, _, _ = stepj(gs, pos, conc, jnp.int32(3), bank, t + i)
+        return bool(gs.est_ok)
+
+    ambiguous = FieldBank(
+        conc=jnp.stack([gauss(src_a), gauss(src_a)]),
+        source=jnp.stack([src_a, src_b]),
+    )
+    separable = FieldBank(
+        conc=jnp.stack([gauss(src_a), gauss(src_b)]),
+        source=jnp.stack([src_a, src_b]),
+    )
+    assert not run(ambiguous, margin=2.0)   # duplicate rows: never commit
+    assert run(separable, margin=2.0)       # clear evidence: commit
+    assert run(ambiguous, margin=1.0)       # identity-only gate would (tie
+                                            # argmin is stable) — the margin
+                                            # is what blocks the wrong dive
+
+
 def test_bank_guide_gate_needs_contact():
     """Without in-plume samples every row scores identical noise — the
     identification gate must stay shut (min_contact)."""

@@ -414,6 +414,8 @@ def cmd_eval(args):
                          else args.guide_min_window),
             check_every=(2 if args.guide_check_every is None
                          else args.guide_check_every),
+            margin=(1.0 if args.guide_margin is None
+                    else args.guide_margin),
         )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
@@ -849,6 +851,11 @@ def build_parser():
     sp.add_argument("--guide-check-every", type=int, default=None,
                     help="steps between learned-localizer stability checks "
                          "(default: derived)")
+    sp.add_argument("--guide-margin", type=float, default=None,
+                    help="--guide bank score-margin gate: commit only when "
+                         "the runner-up row's accumulated error exceeds the "
+                         "best row's by this ratio (default 1.0 = identity "
+                         "stability only; scale-free, ~1 under pure noise)")
     sp.add_argument("--guide-max-se", type=float, default=None,
                     help="override the --guide fit validation gate "
                          "(posterior worst-direction standard error, px): "

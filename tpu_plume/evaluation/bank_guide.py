@@ -39,6 +39,17 @@ compile-request constant, the HTTP-413 trap in CLAUDE.md):
     separates in just a few in-plume samples: each contact read c adds
     ~c^2 to every row predicting background there (measured margin at 8
     contacts: 20x between the true row and the runner-up).
+  - optional SCORE-MARGIN gate (``margin`` > 1): additionally require
+    the runner-up row's accumulated error to exceed the best row's by a
+    ratio before committing.  Scale-free: under pure noise every row
+    accumulates the same variance so the ratio sits at ~1 and the gate
+    stays shut; each in-plume read a wrong row cannot explain adds ~c^2
+    to its score only, so the ratio grows with real evidence.  This
+    trades gate latency for identification accuracy — aggressive
+    cadences (min_contact 2, check_every 1) commit on two reads and
+    mis-identify ~17-25% of gated episodes; a margin recovers the
+    accuracy without waiting for more contact when the evidence is
+    already unambiguous.
   - once gated, ``guidance.phase_action`` drives the dive at the matched
     row's KNOWN source — same crossing geometry as the trilateration and
     learned guides.
@@ -75,6 +86,7 @@ def make_bank_guide(
     *,
     check_every: int = 2,
     min_contact: int = 4,
+    margin: float = 1.0,
     terminate_radius: float = 50.0,
     success_radius: float = 40.0,
 ):
@@ -123,6 +135,11 @@ def make_bank_guide(
         match = jnp.argmin(score).astype(jnp.int32)
         do_check = (count % check_every == 0) & (n_contact >= min_contact)
         stable = match == gs.match_prev
+        if margin > 1.0:
+            # top-2 smallest scores: commit only when the runner-up's
+            # accumulated error exceeds the best's by the margin ratio
+            neg2, _ = jax.lax.top_k(-score, 2)
+            stable = stable & (-neg2[1] > margin * -neg2[0])
         est_ok = jnp.where(do_check, stable, gs.est_ok)
         match_prev = jnp.where(do_check, match, gs.match_prev)
         # steer at the latest argmin (not the checkpointed one): between
