@@ -163,6 +163,61 @@ def test_bank_guide_margin_gate_blocks_ambiguity():
                                             # is what blocks the wrong dive
 
 
+def test_bank_guide_rim_guard_deflects_then_fails_open():
+    """While unidentified, a policy step that would land inside a
+    candidate row's terminate ball must be deflected to a safe landing;
+    after ``rim_expire`` steps the guard fails open and the policy's own
+    action passes through (the measured 48% chord-dive pool must not be
+    converted into hover-forever timeouts)."""
+    from tpu_plume.fields.gridded import FieldBank
+
+    cfg = EnvConfig(plume_model="gridded", plume_sigma=500 / 16)
+    src = jnp.array([[250.0, 250.0]])
+    bank = FieldBank(conc=jnp.zeros((1, 500, 500)), source=src)
+    init, step = make_bank_guide(cfg, 1, rim_guard=True, rim_expire=64)
+    stepj = jax.jit(lambda gs, p, c, a, b, t: step(gs, p, c, a, b, t))
+
+    # 60 px east of the source, policy pushes west (action 4, -x):
+    # landing at 35 px is inside the 50 px terminate ball
+    pos = jnp.array([310.0, 250.0], jnp.float32)
+    t = jnp.zeros((), jnp.int32)
+    gs = init
+    gs, action, on = stepj(gs, pos, jnp.float32(0.0), jnp.int32(4), bank, t)
+    assert not bool(on)
+    assert int(action) != 4
+    m = cfg.move_step
+    deltas = np.array([[0, 0], [0, m], [0, -m], [m, 0], [-m, 0]], np.float32)
+    landing = np.asarray(pos) + deltas[int(action)]
+    assert np.linalg.norm(landing - np.asarray(src[0])) > 50.0
+
+    # drive the step counter past rim_expire: the guard must fail open
+    for _ in range(70):
+        gs, action, on = stepj(gs, pos, jnp.float32(0.0), jnp.int32(4),
+                               bank, t)
+    assert int(action) == 4
+
+
+def test_bank_guide_background_steps_do_not_accumulate():
+    """Steps where the observation is background AND every row predicts
+    background must not move the score: the common noise floor otherwise
+    drowns sporadic contact reads (measured: score ratio pinned at 1.000
+    across 1000-step flights)."""
+    from tpu_plume.fields.gridded import FieldBank
+
+    cfg = EnvConfig(plume_model="gridded", plume_sigma=500 / 16)
+    bank = FieldBank(conc=jnp.zeros((2, 500, 500)),
+                     source=jnp.array([[100.0, 100.0], [400.0, 400.0]]))
+    init, step = make_bank_guide(cfg, 2)
+    stepj = jax.jit(lambda gs, p, c, a, b, t: step(gs, p, c, a, b, t))
+    gs = init
+    t = jnp.zeros((), jnp.int32)
+    # weak noise reads over an all-background bank: nothing informative
+    for i in range(16):
+        gs, _, _ = stepj(gs, jnp.array([250.0, 250.0], jnp.float32),
+                         jnp.float32(0.3), jnp.int32(3), bank, t + i)
+    assert float(jnp.abs(gs.score).max()) == 0.0
+
+
 def test_bank_guide_gate_needs_contact():
     """Without in-plume samples every row scores identical noise — the
     identification gate must stay shut (min_contact)."""

@@ -416,6 +416,9 @@ def cmd_eval(args):
                          else args.guide_check_every),
             margin=(1.0 if args.guide_margin is None
                     else args.guide_margin),
+            search_after=args.guide_search_after,
+            rim_guard=args.guide_rim_guard,
+            rim_expire=args.guide_rim_expire,
         )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
@@ -856,6 +859,20 @@ def build_parser():
                          "the runner-up row's accumulated error exceeds the "
                          "best row's by this ratio (default 1.0 = identity "
                          "stability only; scale-free, ~1 under pure noise)")
+    sp.add_argument("--guide-search-after", type=int, default=None,
+                    help="--guide bank search fallback: a flight with zero "
+                         "in-plume samples after this many steps is steered "
+                         "on a serpentine survey until first contact "
+                         "(default: off — policy keeps control)")
+    sp.add_argument("--guide-rim-guard", action="store_true",
+                    help="--guide bank: while unidentified, deflect policy "
+                         "steps that would land inside any candidate row's "
+                         "terminate ball, and steer toward the top-2 rows' "
+                         "max-disagreement cell once contact is established")
+    sp.add_argument("--guide-rim-expire", type=int, default=400,
+                    help="rim guard fail-open budget in steps (after this "
+                         "many steps an unidentified episode hands control "
+                         "back to the policy; default 400)")
     sp.add_argument("--guide-max-se", type=float, default=None,
                     help="override the --guide fit validation gate "
                          "(posterior worst-direction standard error, px): "

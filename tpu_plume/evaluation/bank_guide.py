@@ -22,7 +22,14 @@ compile-request constant, the HTTP-413 trap in CLAUDE.md):
     agent's current cell (one [K]-vector gather; time/height interpolated
     for 4-D/5-D banks via ``sample_bank``) and accumulates per-row squared
     error against the debiased observation.  No ring buffer: the match
-    uses the ENTIRE flight, O(K) state per env.
+    uses the ENTIRE flight, O(K) state per env.  Only INFORMATIVE steps
+    accumulate — the observation is in-plume, or at least one row
+    predicts in-plume at this cell (absence evidence).  Background steps
+    where every row predicts background add the SAME noise variance to
+    every row: traced episodes showed hundreds of such steps drowning
+    the sporadic ridge-crossing reads, pinning the runner-up/best score
+    ratio at 1.000 for the whole flight and deadlocking any
+    margin-based gate.
   - noise handling: the additive turbulence mean (TI*(sqrt(2/pi)+0.1),
     same constant as guidance.py's inversion debias) is subtracted from
     the observation; its variance is row-independent so the argmin is the
@@ -53,6 +60,42 @@ compile-request constant, the HTTP-413 trap in CLAUDE.md):
   - once gated, ``guidance.phase_action`` drives the dive at the matched
     row's KNOWN source — same crossing geometry as the trilateration and
     learned guides.
+  - optional SEARCH fallback (``search_after`` >= 0): a flight with ZERO
+    in-plume samples after that many steps is steered on a serpentine
+    survey (the non-privileged boustrophedon of evaluation/oracle.py's
+    ``raster``, extended with an edge flip so it covers the domain from
+    any start row) until FIRST contact, then control returns to the
+    policy.  Sweep steps that would land inside any candidate row's
+    terminate ball are detoured (the raster oracle's documented chord
+    problem: a blind sweep crossing the TRUE ball ends the episode on a
+    shallow chord).
+  - optional RIM GUARD (``rim_guard=True``): while the identification
+    gate is CLOSED, any policy step that would land inside the terminate
+    ball of ANY candidate row is replaced by the safe move landing
+    farthest from the nearest ball.  Per-episode accounting showed the
+    dominant loss is NOT missing contact but the policy CROSSING the
+    ball early: ungated episodes end in ~23 steps with failure
+    deviations 42-49 (shallow chords, just outside success radius 40) —
+    one third of all episodes.  The guard holds the drone at the rim —
+    in plume core, where two reads open the gate — and the phase dive
+    then lands deep.  This is the bank-flavored fix the iso fit guide's
+    hover-veto could NOT deliver (its ~22 px estimate error cannot
+    police a 25 px margin, RESULTS.md engagement negatives); here the
+    candidate ball centers are EXACT.
+  - ACTIVE DISAMBIGUATION (automatic with the rim guard): reads taken
+    while bouncing at one rim spot cannot separate rows whose fields
+    agree locally — measured: rim guard + margin alone deadlocks (gate
+    rate 23%, 73% timeouts, the drone parked where the top-2 rows
+    predict the same values).  Once contact is established but the gate
+    is still shut, the guide steers toward the cell where the TOP-2
+    rows' fields disagree most (argmax of |field_a - field_b| on a
+    stride-8 subsample for static banks; greedy 1-step disagreement for
+    time/height-varying banks), ball-safe.  That point is typically a
+    disputed source region — one row predicts near-peak, the other
+    background — so a handful of reads there resolves the identity and
+    the margin gate opens.  This is a 1-step active-identification
+    controller: the information to choose the most informative
+    measurement is all in the bank.
 
 Diagnostics: the state carries the matched row so the harness can report
 a confusion rate against the episode's true ``field.idx``.
@@ -78,6 +121,7 @@ class BankGuideState:
     est_ok: jnp.ndarray      # bool: identification gate open
     est: jnp.ndarray         # f32[2] matched row's source (diagnostics)
     mode: jnp.ndarray        # i32 1 while overriding (diagnostics parity)
+    sweep_down: jnp.ndarray  # bool: serpentine vertical direction (search)
 
 
 def make_bank_guide(
@@ -87,6 +131,9 @@ def make_bank_guide(
     check_every: int = 2,
     min_contact: int = 4,
     margin: float = 1.0,
+    search_after: int | None = None,
+    rim_guard: bool = False,
+    rim_expire: int = 400,
     terminate_radius: float = 50.0,
     success_radius: float = 40.0,
 ):
@@ -105,6 +152,9 @@ def make_bank_guide(
     # in-plume = 3 sigma of debiased turbulence noise above zero
     contact_floor = 3.0 * _NOISE_STD_FRAC * cfg.turbulence_intensity
     rows = jnp.arange(num_rows, dtype=jnp.int32)
+    g = float(cfg.grid_size)
+    m = float(cfg.move_step)
+    band_h = 1.12 * float(cfg.plume_sigma)
 
     def init() -> BankGuideState:
         zi = jnp.zeros((), jnp.int32)
@@ -115,6 +165,7 @@ def make_bank_guide(
             est_ok=jnp.zeros((), bool),
             est=jnp.zeros((2,), jnp.float32),
             mode=zi,
+            sweep_down=jnp.zeros((), bool),
         )
 
     def step(gs: BankGuideState, pos, conc, policy_action, bank, t):
@@ -127,7 +178,9 @@ def make_bank_guide(
             z=(jnp.broadcast_to(pos[2], (num_rows,)) if cfg.env_3d else None),
         ) / cfg.conc_peak
         obs = jnp.maximum(conc - noise_mean, 0.0) / cfg.conc_peak
-        score = gs.score + (obs - preds) ** 2
+        floor_n = contact_floor / cfg.conc_peak
+        informative = (obs >= floor_n) | (jnp.max(preds) >= floor_n)
+        score = gs.score + informative * (obs - preds) ** 2
         n_contact = gs.n_contact + (
             conc - noise_mean >= contact_floor).astype(jnp.int32)
         count = gs.count + 1
@@ -135,10 +188,14 @@ def make_bank_guide(
         match = jnp.argmin(score).astype(jnp.int32)
         do_check = (count % check_every == 0) & (n_contact >= min_contact)
         stable = match == gs.match_prev
+        if num_rows >= 2:
+            neg2, top2 = jax.lax.top_k(-score, 2)
+        else:  # degenerate single-row bank: no runner-up exists
+            neg2 = jnp.stack([-score[0], -score[0]])
+            top2 = jnp.zeros((2,), jnp.int32)
         if margin > 1.0:
             # top-2 smallest scores: commit only when the runner-up's
             # accumulated error exceeds the best's by the margin ratio
-            neg2, _ = jax.lax.top_k(-score, 2)
             stable = stable & (-neg2[1] > margin * -neg2[0])
         est_ok = jnp.where(do_check, stable, gs.est_ok)
         match_prev = jnp.where(do_check, match, gs.match_prev)
@@ -150,13 +207,100 @@ def make_bank_guide(
         g_action = phase_action(
             pos[:2], src, cfg, terminate_radius, deep_target, setup_distance
         )
-        action = jnp.where(est_ok, g_action, policy_action).astype(
+        def _safe_move(a):
+            # refuse any landing within the terminate radius of ANY
+            # candidate row: prefer ``a``, else the safe move landing
+            # farthest from the nearest ball.  All-unsafe corner: the
+            # farthest landing still wins (entering a WRONG candidate's
+            # ball costs nothing — only the true row's ball terminates).
+            deltas = jnp.array([[0.0, 0.0], [0.0, m], [0.0, -m],
+                                [m, 0.0], [-m, 0.0]], jnp.float32)
+            land = pos[None, :2] + deltas                        # [5, 2]
+            d_min = jnp.min(jnp.linalg.norm(
+                land[:, None, :] - bank.source[None, :, :2], axis=-1,
+            ), axis=-1)                                          # [5]
+            safe = d_min[1:] > terminate_radius + 0.1 * m
+            moves = jnp.arange(1, 5, dtype=jnp.int32)            # 1..4
+            pref = (3.0 * (moves == a) + 1e-3 * d_min[1:]
+                    + jnp.where(safe, 0.0, -1e3))
+            sub = moves[jnp.argmax(pref)]
+            a_ok = (d_min[a] > terminate_radius + 0.1 * m) | (a == 0)
+            return jnp.where(a_ok, a, sub).astype(jnp.int32)
+
+        fallback = policy_action.astype(jnp.int32)
+        sweep_down = gs.sweep_down
+        if search_after is not None:
+            # serpentine survey until FIRST contact: horizontal direction
+            # from the band's parity, vertical direction flipped at the
+            # y edges so the sweep covers the domain from any start row
+            x, y = pos[0], pos[1]
+            at_top = y >= g - 1.2 * m
+            at_bot = y <= 1.2 * m
+            sweep_down = jnp.where(at_top, True,
+                                   jnp.where(at_bot, False, sweep_down))
+            band = jnp.floor(y / band_h).astype(jnp.int32)
+            going_right = band % 2 == 0
+            turn = jnp.where(going_right, x >= g - 1.2 * m, x <= 1.2 * m)
+            vert = jnp.where(sweep_down, 2, 1)
+            s_action = _safe_move(jnp.where(
+                turn, vert, jnp.where(going_right, 3, 4)
+            ).astype(jnp.int32))
+            searching = (n_contact == 0) & (count >= search_after)
+            fallback = jnp.where(searching, s_action, fallback)
+        if rim_guard:
+            # active disambiguation: with contact established but the
+            # gate shut, head for the cell where the top-2 rows disagree
+            # most (see module docstring)
+            if bank.conc.ndim == 3:
+                sub = bank.conc[top2][:, ::8, ::8]        # [2, h', w']
+                diff = jnp.abs(sub[0] - sub[1])
+                flat = jnp.argmax(diff)
+                w_ = sub.shape[2]
+                tgt = jnp.stack([
+                    (flat // w_).astype(jnp.float32) * 8.0 + 4.0,
+                    (flat % w_).astype(jnp.float32) * 8.0 + 4.0,
+                ])
+            else:
+                # greedy 1-step: probe the 4 landings' predicted
+                # disagreement (2 rows x 4 points, one broadcast gather)
+                mv = jnp.array([[0.0, m], [0.0, -m],
+                                [m, 0.0], [-m, 0.0]], jnp.float32)
+                lp = jnp.clip(jnp.floor(pos[None, :2] + mv), 0,
+                              cfg.grid_size - 1).astype(jnp.int32)
+                pr = sample_bank(
+                    bank, top2[:, None], lp[None, :, 0], lp[None, :, 1],
+                    t=jnp.broadcast_to(t, (2, 4)),
+                    z=(jnp.broadcast_to(pos[2], (2, 4))
+                       if cfg.env_3d else None),
+                )                                          # [2, 4]
+                best = jnp.argmax(jnp.abs(pr[0] - pr[1]))
+                tgt = pos[:2] + mv[best]
+            to = tgt - pos[:2]
+            disc = jnp.where(
+                jnp.abs(to[0]) >= jnp.abs(to[1]),
+                jnp.where(to[0] > 0, 3, 4),
+                jnp.where(to[1] > 0, 1, 2),
+            ).astype(jnp.int32)
+            # FAIL OPEN after ``rim_expire`` steps: episodes whose
+            # identification never converges must hand control back —
+            # the raw policy's own chord dives land inside the success
+            # radius ~48% of the time (measured), and a permanent guard
+            # converts those wins into hover-forever timeouts
+            guard_on = count < rim_expire
+            discriminating = (~est_ok) & (n_contact >= min_contact) & guard_on
+            fallback = jnp.where(discriminating, disc, fallback)
+            # while unidentified, the policy must not cross any candidate
+            # ball: deflect rim-bound steps (see module docstring)
+            fallback = jnp.where(guard_on, _safe_move(fallback), fallback)
+        fallback = fallback.astype(policy_action.dtype)
+        action = jnp.where(est_ok, g_action, fallback).astype(
             policy_action.dtype
         )
         gs = gs.replace(
             score=score, n_contact=n_contact, count=count,
             match=match, match_prev=match_prev, est_ok=est_ok,
             est=src, mode=est_ok.astype(jnp.int32),
+            sweep_down=sweep_down,
         )
         return gs, action, est_ok
 
