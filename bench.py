@@ -164,6 +164,7 @@ def measure_tpu(
     bank_gather: str = "auto",
     bf16: bool = False,
     bf16_update: bool = False,
+    remat: bool = False,
 ) -> dict:
     """Fused-train-step throughput for one field configuration.
 
@@ -204,7 +205,8 @@ def measure_tpu(
         # TPU-scale minibatching: same 5 epochs, minibatch sized for MXU
         # utilization instead of the reference's CPU-era 256.
         ppo=PPOConfig(minibatch_size=batch // minibatches, epochs=5,
-                      bf16_compute=bf16, bf16_update=bf16_update),
+                      bf16_compute=bf16, bf16_update=bf16_update,
+                      remat=remat),
         curriculum=CurriculumConfig(),
         rollout=RolloutConfig(num_envs=num_envs, unroll_length=unroll),
     )

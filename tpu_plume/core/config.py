@@ -279,6 +279,13 @@ class PPOConfig:
     # reached by the autodiff path under bf16_compute.  Kept for larger
     # trunk widths where the traffic term dominates.
     fused_update: bool = False
+    # Rematerialize the update's loss forward inside the backward
+    # (jax.checkpoint around ppo_loss): trades +1 trunk forward of FLOPs
+    # for NOT round-tripping the trunk activations through HBM between
+    # fwd and bwd — the other lever on the same HBM-traffic bound the
+    # Pallas fused kernel targeted.  A/B'd on the flagship 40-chain
+    # update before changing any default.
+    remat: bool = False
     # Actor-critic trunk widths.  (256, 128) is the reference architecture
     # (PPOV1.1/model.py:17-53); wider trunks are a performance config (the
     # MXU is indifferent up to ~1024 at these batch sizes).

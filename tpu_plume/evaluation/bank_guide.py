@@ -64,15 +64,18 @@ compile-request constant, the HTTP-413 trap in CLAUDE.md):
     in-plume samples after that many steps is steered on a serpentine
     survey (the non-privileged boustrophedon of evaluation/oracle.py's
     ``raster``, extended with an edge flip so it covers the domain from
-    any start row) until FIRST contact, then control returns to the
-    policy.  Sweep steps that would land inside any candidate row's
-    terminate ball are detoured (the raster oracle's documented chord
-    problem: a blind sweep crossing the TRUE ball ends the episode on a
-    shallow chord).
+    any start row) until contact, RESUMING whenever contact dries up
+    for another ``search_after`` steps (a single noise spike must not
+    end the survey).  Sweep steps that would land inside any candidate
+    row's terminate ball are detoured (the raster oracle's documented
+    chord problem: a blind sweep crossing the TRUE ball ends the episode
+    on a shallow chord); under the rim guard the sweep honors the same
+    fail-open budget.
   - optional RIM GUARD (``rim_guard=True``): while the identification
-    gate is CLOSED, any policy step that would land inside the terminate
-    ball of ANY candidate row is replaced by the safe move landing
-    farthest from the nearest ball.  Per-episode accounting showed the
+    gate is CLOSED, any policy step that would land inside the
+    noise-margined terminate ball of ANY candidate row is deflected
+    TANGENTIALLY around the nearest ball (bug-algorithm wall following —
+    farthest-landing substitution measured ping-ponging in place).  Per-episode accounting showed the
     dominant loss is NOT missing contact but the policy CROSSING the
     ball early: ungated episodes end in ~23 steps with failure
     deviations 42-49 (shallow chords, just outside success radius 40) —
@@ -122,6 +125,7 @@ class BankGuideState:
     est: jnp.ndarray         # f32[2] matched row's source (diagnostics)
     mode: jnp.ndarray        # i32 1 while overriding (diagnostics parity)
     sweep_down: jnp.ndarray  # bool: serpentine vertical direction (search)
+    last_contact: jnp.ndarray  # i32 step of the most recent in-plume read
 
 
 def make_bank_guide(
@@ -147,7 +151,15 @@ def make_bank_guide(
     if cfg.plume_model != "gridded":
         raise ValueError("--guide bank requires plume_model='gridded'")
     deep_target = min(success_radius - 10.0, 0.8 * terminate_radius)
-    setup_distance = deep_target + cfg.grid_size * cfg.move_frac - 1.0
+    # setup ring pushed out by the same +4 px margin the aniso guide
+    # measured on thin ridges, with the acceptance bound (deep_take)
+    # opened so a ring crossing still qualifies: hovering 4 px off the
+    # ball with ~7 px/step turbulence displacement was the residual
+    # accident pool (33% of correctly-identified dives entering at
+    # deviation 47-50)
+    deep_take = min(success_radius - 5.0, 0.9 * terminate_radius)
+    setup_distance = cfg.grid_size * cfg.move_frac + min(
+        deep_target + 3.0, deep_take - 1.0)
     noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
     # in-plume = 3 sigma of debiased turbulence noise above zero
     contact_floor = 3.0 * _NOISE_STD_FRAC * cfg.turbulence_intensity
@@ -155,6 +167,13 @@ def make_bank_guide(
     g = float(cfg.grid_size)
     m = float(cfg.move_step)
     band_h = 1.12 * float(cfg.plume_sigma)
+    # ball-avoidance margin, derived from the env's turbulence
+    # DISPLACEMENT scale (step_noise: move_step * coef * N(0,1) * tke
+    # fraction, so sigma <= move_step * coef per axis): standing 0.1
+    # moves off the rim measured a ~35% accidental-entry pool among
+    # correctly-identified episodes — every failure at deviation 47-50,
+    # i.e. first-entry terminations while guarded or setting up
+    avoid_r = terminate_radius + 2.5 * m * float(cfg.turb_displacement_coef)
 
     def init() -> BankGuideState:
         zi = jnp.zeros((), jnp.int32)
@@ -166,6 +185,7 @@ def make_bank_guide(
             est=jnp.zeros((2,), jnp.float32),
             mode=zi,
             sweep_down=jnp.zeros((), bool),
+            last_contact=zi,
         )
 
     def step(gs: BankGuideState, pos, conc, policy_action, bank, t):
@@ -181,9 +201,10 @@ def make_bank_guide(
         floor_n = contact_floor / cfg.conc_peak
         informative = (obs >= floor_n) | (jnp.max(preds) >= floor_n)
         score = gs.score + informative * (obs - preds) ** 2
-        n_contact = gs.n_contact + (
-            conc - noise_mean >= contact_floor).astype(jnp.int32)
+        contact_now = conc - noise_mean >= contact_floor
+        n_contact = gs.n_contact + contact_now.astype(jnp.int32)
         count = gs.count + 1
+        last_contact = jnp.where(contact_now, count, gs.last_contact)
 
         match = jnp.argmin(score).astype(jnp.int32)
         do_check = (count % check_every == 0) & (n_contact >= min_contact)
@@ -197,7 +218,11 @@ def make_bank_guide(
             # top-2 smallest scores: commit only when the runner-up's
             # accumulated error exceeds the best's by the margin ratio
             stable = stable & (-neg2[1] > margin * -neg2[0])
-        est_ok = jnp.where(do_check, stable, gs.est_ok)
+        # STICKY once open: momentary argmin flips mid-dive otherwise
+        # hand control back to the rim guard for a step (measured control
+        # thrash at the rim); the dive target below follows the LATEST
+        # argmin either way, so a wrong commit still self-corrects.
+        est_ok = gs.est_ok | (do_check & stable)
         match_prev = jnp.where(do_check, match, gs.match_prev)
         # steer at the latest argmin (not the checkpointed one): between
         # checks the argmin only moves if new evidence overturns it, and
@@ -205,26 +230,39 @@ def make_bank_guide(
         src = bank.source[match]
 
         g_action = phase_action(
-            pos[:2], src, cfg, terminate_radius, deep_target, setup_distance
+            pos[:2], src, cfg, terminate_radius, deep_target,
+            setup_distance, deep_take=deep_take,
         )
         def _safe_move(a):
             # refuse any landing within the terminate radius of ANY
-            # candidate row: prefer ``a``, else the safe move landing
-            # farthest from the nearest ball.  All-unsafe corner: the
-            # farthest landing still wins (entering a WRONG candidate's
-            # ball costs nothing — only the true row's ball terminates).
+            # candidate row.  When ``a`` is blocked, substitute the safe
+            # move with the most CLOCKWISE-TANGENTIAL progress around the
+            # nearest ball (bug-algorithm wall following) — substituting
+            # the farthest-from-ball landing instead was traced
+            # ping-ponging between two cells for hundreds of steps
+            # (blocked move -> step away -> step right back), so the
+            # drone never ROUTED AROUND an intervening ball.  All-unsafe
+            # corner: the farthest landing wins (entering a WRONG
+            # candidate's ball costs nothing — only the true row's ball
+            # terminates).
             deltas = jnp.array([[0.0, 0.0], [0.0, m], [0.0, -m],
                                 [m, 0.0], [-m, 0.0]], jnp.float32)
             land = pos[None, :2] + deltas                        # [5, 2]
-            d_min = jnp.min(jnp.linalg.norm(
+            d_all = jnp.linalg.norm(
                 land[:, None, :] - bank.source[None, :, :2], axis=-1,
-            ), axis=-1)                                          # [5]
-            safe = d_min[1:] > terminate_radius + 0.1 * m
+            )                                                    # [5, K]
+            d_min = jnp.min(d_all, axis=-1)                      # [5]
+            near = jnp.argmin(d_all[0])
+            u = pos[:2] - bank.source[near, :2]
+            tangent = jnp.array([u[1], -u[0]])                   # clockwise
+            t_score = deltas[1:] @ tangent / (
+                jnp.linalg.norm(tangent) + 1e-6) / m             # [4] in [-1,1]
+            safe = d_min[1:] > avoid_r
             moves = jnp.arange(1, 5, dtype=jnp.int32)            # 1..4
-            pref = (3.0 * (moves == a) + 1e-3 * d_min[1:]
-                    + jnp.where(safe, 0.0, -1e3))
+            pref = jnp.where(safe, t_score + 1e-4 * d_min[1:],
+                             -1e3 + 1e-3 * d_min[1:])
             sub = moves[jnp.argmax(pref)]
-            a_ok = (d_min[a] > terminate_radius + 0.1 * m) | (a == 0)
+            a_ok = (d_min[a] > avoid_r) | (a == 0)
             return jnp.where(a_ok, a, sub).astype(jnp.int32)
 
         fallback = policy_action.astype(jnp.int32)
@@ -245,7 +283,19 @@ def make_bank_guide(
             s_action = _safe_move(jnp.where(
                 turn, vert, jnp.where(going_right, 3, 4)
             ).astype(jnp.int32))
-            searching = (n_contact == 0) & (count >= search_after)
+            # RESUME when contact dries up: a single noise spike over the
+            # contact floor must not disable the survey for the rest of
+            # the flight (traced: one tail read at step 60 left a
+            # never-contacted episode wandering for 900 steps).  Under the
+            # rim guard the search honors the same fail-open budget: a
+            # ball-safe sweep that never identifies must hand control
+            # back too, or it blocks the policy's chord dives forever
+            # (measured: never-contact pool 48% -> 11% success, 78%
+            # timeouts, when the sweep outlived the guard).
+            searching = (~est_ok) & (
+                count - last_contact >= search_after)
+            if rim_guard:
+                searching = searching & (count < rim_expire)
             fallback = jnp.where(searching, s_action, fallback)
         if rim_guard:
             # active disambiguation: with contact established but the
@@ -287,7 +337,12 @@ def make_bank_guide(
             # radius ~48% of the time (measured), and a permanent guard
             # converts those wins into hover-forever timeouts
             guard_on = count < rim_expire
-            discriminating = (~est_ok) & (n_contact >= min_contact) & guard_on
+            # only with real evidence: a strictly separated top-2 (noise
+            # spikes leave every row tied, and steering at the tied pair's
+            # disagreement point would override the serpentine survey)
+            have_evidence = -neg2[1] > -neg2[0]
+            discriminating = ((~est_ok) & (n_contact >= min_contact)
+                              & guard_on & have_evidence)
             fallback = jnp.where(discriminating, disc, fallback)
             # while unidentified, the policy must not cross any candidate
             # ball: deflect rim-bound steps (see module docstring)
@@ -300,7 +355,7 @@ def make_bank_guide(
             score=score, n_contact=n_contact, count=count,
             match=match, match_prev=match_prev, est_ok=est_ok,
             est=src, mode=est_ok.astype(jnp.int32),
-            sweep_down=sweep_down,
+            sweep_down=sweep_down, last_contact=last_contact,
         )
         return gs, action, est_ok
 

@@ -269,7 +269,12 @@ def ppo_update(
         f"batch {batch_size} not divisible by minibatch {cfg.minibatch_size}"
     )
 
-    grad_fn = jax.grad(ppo_loss, has_aux=True)
+    loss_fn = ppo_loss
+    if cfg.remat:
+        # recompute the loss forward during the backward instead of
+        # storing trunk activations across it (see PPOConfig.remat)
+        loss_fn = jax.checkpoint(ppo_loss, static_argnums=(1, 3))
+    grad_fn = jax.grad(loss_fn, has_aux=True)
     if cfg.fused_update and batch.oracle_actions is None:
         # VMEM-resident fused fwd+bwd (ops/pallas_ppo.py); None when the
         # param tree is not the standard feedforward ActorCritic.
