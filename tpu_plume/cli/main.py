@@ -409,14 +409,19 @@ def cmd_eval(args):
                               else args.goal_radius),
             success_radius=cfg.eval.success_distance,
             # shared gate-cadence knobs: min in-plume samples before the
-            # identity gate may open, and the stability-check stride
-            min_contact=(4 if args.guide_min_window is None
+            # identity gate may open, and the stability-check stride.
+            # Defaults are the measured 1000-ep TPU winners (RESULTS.md
+            # rim-guard study): commit on 2 reads, check every step,
+            # search from step 50, rim guard on with a 400-step budget.
+            min_contact=(2 if args.guide_min_window is None
                          else args.guide_min_window),
-            check_every=(2 if args.guide_check_every is None
+            check_every=(1 if args.guide_check_every is None
                          else args.guide_check_every),
             margin=(1.0 if args.guide_margin is None
                     else args.guide_margin),
-            search_after=args.guide_search_after,
+            search_after=(50 if args.guide_search_after is None
+                          else (None if args.guide_search_after < 0
+                                else args.guide_search_after)),
             rim_guard=args.guide_rim_guard,
             rim_expire=args.guide_rim_expire,
         )
@@ -863,12 +868,15 @@ def build_parser():
                     help="--guide bank search fallback: a flight with zero "
                          "in-plume samples after this many steps is steered "
                          "on a serpentine survey until first contact "
-                         "(default: off — policy keeps control)")
-    sp.add_argument("--guide-rim-guard", action="store_true",
+                         "(default 50; pass a negative value to disable "
+                         "and leave the policy in control)")
+    sp.add_argument("--guide-rim-guard", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="--guide bank: while unidentified, deflect policy "
                          "steps that would land inside any candidate row's "
                          "terminate ball, and steer toward the top-2 rows' "
-                         "max-disagreement cell once contact is established")
+                         "max-disagreement cell once contact is established "
+                         "(default on; --no-guide-rim-guard to disable)")
     sp.add_argument("--guide-rim-expire", type=int, default=400,
                     help="rim guard fail-open budget in steps (after this "
                          "many steps an unidentified episode hands control "
