@@ -42,6 +42,12 @@ ARMS = {
     # dive-jitter damping ported from the isotropic guide (round 4)
     "ema02": dict(est_ema=0.2),
     "ema05": dict(est_ema=0.5),
+    # resuming serpentine contact search ported from the bank guide
+    # (round 4: the guided loss pool is contact-limited — 46.5% of
+    # episodes fail with median 5 usable samples)
+    "search25": dict(search_after=25),
+    "search50": dict(search_after=50),
+    "search100": dict(search_after=100),
 }
 
 

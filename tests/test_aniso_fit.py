@@ -420,3 +420,74 @@ def test_ride_trigger_budget_and_default_off():
     gs, n_ov = walk(dataclasses.replace(
         base, ride=True, ride_ambig_min=0.0, ride_budget=2))
     assert int(gs.ride_count) == n_ov == 2
+
+
+def test_search_fallback_resumes_and_defaults_off():
+    """The resuming serpentine search (AnisoGuideConfig.search_after,
+    ported from the bank guide's measured-positive fallback) engages
+    only after search_after consecutive contact-free steps, yields
+    control on a readable read, and RESUMES when contact dries up again.
+    Default 0 = off: dry flights stay under policy control."""
+    cfg = _wrf_cfg(max_steps=800)
+    base = derive_aniso_config(cfg, terminate_radius=50.0,
+                               success_radius=40.0)
+    assert base.search_after == 0  # default off
+    noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
+    dry_pos = jnp.array([100.0, 100.0])
+    readable = 0.2 * cfg.conc_peak + noise_mean  # well above conc_floor
+
+    def run(gcfg, n_dry):
+        init, step = make_aniso_guide(cfg, gcfg=gcfg)
+        step = jax.jit(step)
+        gs, overrides = init, []
+        for _ in range(n_dry):
+            gs, a, ov = step(gs, dry_pos, jnp.float32(0.0), jnp.int32(0))
+            overrides.append((bool(ov), int(a)))
+        return gs, step, overrides
+
+    # default off: 40 dry steps, never overrides
+    _, _, ov0 = run(base, 40)
+    assert all(not o for o, _ in ov0)
+
+    # search_after=10: policy keeps control for 10 steps, then the sweep
+    # takes over with a real move (never action 0)
+    gcfg = dataclasses.replace(base, search_after=10)
+    gs, step, ov1 = run(gcfg, 14)
+    assert all(not o for o, _ in ov1[:9])
+    assert all(o and a != 0 for o, a in ov1[-4:])
+
+    # one readable read hands control back and resets the timer ...
+    gs, a, ov = step(gs, dry_pos, jnp.float32(readable), jnp.int32(0))
+    assert not bool(ov)
+    for _ in range(5):
+        gs, a, ov = step(gs, dry_pos, jnp.float32(0.0), jnp.int32(0))
+        assert not bool(ov)
+    # ... and the sweep RESUMES once contact has been dry for the budget
+    for _ in range(10):
+        gs, a, ov = step(gs, dry_pos, jnp.float32(0.0), jnp.int32(0))
+    assert bool(ov) and int(a) != 0
+
+
+def test_search_sweep_covers_bands():
+    """Following the sweep's own actions from a corner traverses full
+    x-extents and steps through multiple y bands (boustrophedon)."""
+    cfg = _wrf_cfg(max_steps=2000)
+    gcfg = dataclasses.replace(
+        derive_aniso_config(cfg, terminate_radius=50.0), search_after=1)
+    init, step = make_aniso_guide(cfg, gcfg=gcfg)
+    step = jax.jit(step)
+    gs = init
+    mv = cfg.grid_size * cfg.move_frac
+    deltas = {1: (0.0, mv), 2: (0.0, -mv), 3: (mv, 0.0), 4: (-mv, 0.0)}
+    pos = jnp.array([30.0, 30.0])
+    xs, ys = [], []
+    for _ in range(160):
+        gs, a, ov = step(gs, pos, jnp.float32(0.0), jnp.int32(0))
+        if bool(ov):
+            dx, dy = deltas[int(a)]
+            pos = jnp.clip(pos + jnp.array([dx, dy]), 0.0,
+                           cfg.grid_size - 1.0)
+        xs.append(float(pos[0])); ys.append(float(pos[1]))
+    band_h = 1.12 * cfg.plume_sigma
+    assert max(xs) > 0.8 * cfg.grid_size and min(xs) < 0.2 * cfg.grid_size
+    assert len({int(y // band_h) for y in ys}) >= 3

@@ -244,3 +244,52 @@ def test_bank_guide_gate_needs_contact():
                                bank, t + i)
     assert not bool(gs.est_ok)
     assert int(action) == 3  # policy action passes through
+
+
+def test_bank_guide_guard_top_restricts_to_scored_candidates():
+    """``guard_top``: pre-contact the guard stands down (every row ties,
+    and guarding a K-sized ball set tiles the domain — the measured K=64
+    thrash); once contact evidence exists, only the top-scored rows'
+    balls deflect, and a ball far down the ranking does not."""
+    from tpu_plume.fields.gridded import FieldBank
+
+    cfg = EnvConfig(plume_model="gridded", plume_sigma=500 / 16)
+    g = cfg.grid_size
+    ix = jnp.arange(g, dtype=jnp.float32)[:, None]
+    iy = jnp.arange(g, dtype=jnp.float32)[None, :]
+
+    def gauss(src, sig=60.0):
+        d2 = (ix - src[0]) ** 2 + (iy - src[1]) ** 2
+        return jnp.exp(-d2 / (2.0 * sig * sig))
+
+    # row 0: plume the flight is standing in (will be top-scored);
+    # rows 1..3: distant decoys, one of them near the flight's west path
+    srcs = jnp.array([[250.0, 250.0], [100.0, 400.0],
+                      [400.0, 100.0], [130.0, 250.0]])
+    bank = FieldBank(conc=jnp.stack([gauss(s) for s in srcs]), source=srcs)
+    init, step = make_bank_guide(
+        cfg, 4, rim_guard=True, rim_expire=1000, guard_top=1,
+        min_contact=99,  # keep the gate shut: this tests the guard only
+    )
+    stepj = jax.jit(lambda gs, p, c, a, b, t: step(gs, p, c, a, b, t))
+    t = jnp.zeros((), jnp.int32)
+
+    # PRE-CONTACT: 60 px east of row 0's source, policy pushes west into
+    # its ball — with guard_top the guard is inactive, action passes
+    gs = init
+    pos = jnp.array([310.0, 250.0], jnp.float32)
+    gs, action, _ = stepj(gs, pos, jnp.float32(0.0), jnp.int32(4), bank, t)
+    assert int(action) == 4
+
+    # CONTACT at row 0's core: row 0 becomes the (sole) guarded ball
+    conc = float(bank.conc[0, 310, 250]) * cfg.conc_peak + 0.5
+    gs, _, _ = stepj(gs, pos, jnp.float32(conc), jnp.int32(0), bank, t)
+    assert int(gs.n_contact) >= 1 and int(gs.match) == 0
+    gs, action, _ = stepj(gs, pos, jnp.float32(0.0), jnp.int32(4), bank, t)
+    assert int(action) != 4  # row 0's ball now deflects
+
+    # a step toward the UNranked decoy at [130, 250] passes untouched:
+    # stand 60 px east of it and push west (lands 35 px from the decoy)
+    pos2 = jnp.array([190.0, 250.0], jnp.float32)
+    gs, action, _ = stepj(gs, pos2, jnp.float32(0.0), jnp.int32(4), bank, t)
+    assert int(action) == 4

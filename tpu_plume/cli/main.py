@@ -342,6 +342,9 @@ def cmd_eval(args):
             terminate_radius=args.goal_radius,
             success_radius=cfg.eval.success_distance,
             max_se=args.guide_max_se,
+            # resuming serpentine contact search (aniso fit guide only;
+            # negative disables, None keeps the config default of off)
+            search_after=args.guide_search_after,
         )
     elif args.guide == "learned":
         import jax.numpy as jnp
@@ -424,6 +427,7 @@ def cmd_eval(args):
                                 else args.guide_search_after)),
             rim_guard=args.guide_rim_guard,
             rim_expire=args.guide_rim_expire,
+            guard_top=args.guide_guard_top,
         )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
@@ -865,11 +869,12 @@ def build_parser():
                          "best row's by this ratio (default 1.0 = identity "
                          "stability only; scale-free, ~1 under pure noise)")
     sp.add_argument("--guide-search-after", type=int, default=None,
-                    help="--guide bank search fallback: a flight with zero "
-                         "in-plume samples after this many steps is steered "
-                         "on a serpentine survey until first contact "
-                         "(default 50; pass a negative value to disable "
-                         "and leave the policy in control)")
+                    help="contact-search fallback: with no in-plume sample "
+                         "for this many steps, steer a resuming serpentine "
+                         "survey until contact.  --guide bank: default 50; "
+                         "negative disables.  --guide fit (anisotropic "
+                         "only): default off; pass a positive value to "
+                         "enable")
     sp.add_argument("--guide-rim-guard", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="--guide bank: while unidentified, deflect policy "
@@ -877,6 +882,11 @@ def build_parser():
                          "terminate ball, and steer toward the top-2 rows' "
                          "max-disagreement cell once contact is established "
                          "(default on; --no-guide-rim-guard to disable)")
+    sp.add_argument("--guide-guard-top", type=int, default=0,
+                    help="--guide bank: restrict the rim guard to the "
+                         "top-N scored rows' balls once contact exists "
+                         "(0 = guard all rows; use on large banks where "
+                         "the avoid balls tile the domain, e.g. K=64)")
     sp.add_argument("--guide-rim-expire", type=int, default=400,
                     help="rim guard fail-open budget in steps (after this "
                          "many steps an unidentified episode hands control "

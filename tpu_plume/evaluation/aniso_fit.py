@@ -271,6 +271,22 @@ class AnisoGuideConfig:
     # (guidance.py GuideConfig.est_ema, +1.2-1.55pp there).  theta is
     # NOT blended (angle wrap); only the source block damps.
     est_ema: float = 1.0
+    # --- resuming serpentine search (ported from the bank guide's
+    # measured-positive fallback, RESULTS.md rim-guard study: search +
+    # rim guard took the no-bonus gridded ckpt 50.0 -> 73.1% by feeding
+    # its never-contact pool).  The wrf guided loss pool is likewise
+    # CONTACT-limited (46.5% of episodes fail with median 5 usable
+    # samples): when no READABLE sample has arrived for search_after
+    # steps and no other tier is steering, sweep the domain
+    # boustrophedon (band height 1.12 * plume_sigma, direction flipped
+    # at the y edges so the sweep covers the domain from any start
+    # row), RESUMING whenever contact dries up again — a single noise
+    # spike must not end the survey.  Unlike the bank guide there are
+    # no known candidate balls to detour around, so a sweep line
+    # crossing the TRUE terminate ball ends the episode on a chord —
+    # acceptable, because the episodes this tier touches were failing
+    # outright.  0 disables.
+    search_after: int = 0
 
 
 @struct.dataclass
@@ -305,6 +321,9 @@ class AnisoGuideState:
     null_w: jnp.ndarray    # f32[Kn] null-slot weights (0 = empty)
     null_count: jnp.ndarray  # i32 nulls recorded (monotonic)
     ride_count: jnp.ndarray  # i32 ridge-ride steps taken (budgeted)
+    step_count: jnp.ndarray  # i32 total steps ingested (search timer)
+    last_contact: jnp.ndarray  # i32 step of the most recent readable read
+    sweep_down: jnp.ndarray    # bool: serpentine vertical direction
 
 
 def _inv3(a: jnp.ndarray) -> jnp.ndarray:
@@ -579,6 +598,9 @@ def make_aniso_guide(
             null_w=jnp.zeros((max(gcfg.null_buffer, 1),), jnp.float32),
             null_count=zi,
             ride_count=zi,
+            step_count=zi,
+            last_contact=zi,
+            sweep_down=zb,
         )
 
     def step(gs: AnisoGuideState, pos, conc, policy_action):
@@ -807,12 +829,41 @@ def make_aniso_guide(
             ride_action = jnp.argmax(ride_score).astype(jnp.int32)
             ride_count = ride_count + riding.astype(jnp.int32)
 
+        # ---- resuming serpentine search (AnisoGuideConfig.search_after)
+        step_count = gs.step_count + 1
+        last_contact = jnp.where(readable, step_count, gs.last_contact)
+        searching = jnp.zeros((), bool)
+        s_action = policy_action.astype(jnp.int32)
+        sweep_down = gs.sweep_down
+        if gcfg.search_after > 0:
+            g = float(cfg.grid_size)
+            mv = float(cfg.move_step)
+            band_h = 1.12 * float(cfg.plume_sigma)
+            x, y = pos[0], pos[1]
+            at_top = y >= g - 1.2 * mv
+            at_bot = y <= 1.2 * mv
+            sweep_down = jnp.where(at_top, True,
+                                   jnp.where(at_bot, False, sweep_down))
+            band = jnp.floor(y / band_h).astype(jnp.int32)
+            going_right = band % 2 == 0
+            turn = jnp.where(going_right, x >= g - 1.2 * mv, x <= 1.2 * mv)
+            vert = jnp.where(sweep_down, 2, 1)
+            s_action = jnp.where(
+                turn, vert, jnp.where(going_right, 3, 4)
+            ).astype(jnp.int32)
+            searching = (
+                ~steer & ~sensing & ~riding
+                & (step_count - last_contact >= gcfg.search_after)
+            )
+
         action = jnp.where(
             steer, g_action,
             jnp.where(riding, ride_action,
-                      jnp.where(sensing, tr_action, policy_action)),
+                      jnp.where(sensing, tr_action,
+                                jnp.where(searching, s_action,
+                                          policy_action))),
         ).astype(policy_action.dtype)
-        overriding = steer | sensing | riding
+        overriding = steer | sensing | riding | searching
 
         gs = gs.replace(
             est=est,
@@ -838,6 +889,9 @@ def make_aniso_guide(
             p_refutes=p_refutes,
             d_min=d_min,
             ride_count=ride_count,
+            step_count=step_count,
+            last_contact=last_contact,
+            sweep_down=sweep_down,
             # a refuted/stale fit's samples are wiped so the fit restarts
             w_buf=jnp.where(wiped, jnp.zeros_like(gs.w_buf), gs.w_buf),
         )

@@ -87,7 +87,11 @@ compile-request constant, the HTTP-413 trap in CLAUDE.md):
     then lands deep.  This is the bank-flavored fix the iso fit guide's
     hover-veto could NOT deliver (its ~22 px estimate error cannot
     police a 25 px margin, RESULTS.md engagement negatives); here the
-    candidate ball centers are EXACT.
+    candidate ball centers are EXACT.  ``guard_top`` > 0 restricts the
+    guard (and the sweep's detours) to the top-scored rows' balls once
+    contact exists, standing down pre-contact — the K=64 fix: 64 avoid
+    balls tile the domain, so guarding all of them deflects constantly
+    and the gate opens on weaker evidence (accuracy 95.8% -> 57.3%).
   - ACTIVE DISAMBIGUATION (automatic with the rim guard): reads taken
     while bouncing at one rim spot cannot separate rows whose fields
     agree locally — measured: rim guard + margin alone deadlocks (gate
@@ -141,6 +145,7 @@ def make_bank_guide(
     search_after: int | None = 50,
     rim_guard: bool = True,
     rim_expire: int = 400,
+    guard_top: int = 0,
     terminate_radius: float = 50.0,
     success_radius: float = 40.0,
 ):
@@ -236,9 +241,28 @@ def make_bank_guide(
             pos[:2], src, cfg, terminate_radius, deep_target,
             setup_distance, deep_take=deep_take,
         )
+        if 0 < guard_top < num_rows:
+            # guard only the top-``guard_top`` candidate rows by score,
+            # and only once contact evidence exists.  At K=64 guarding
+            # ALL rows tiles the domain with ~55 px avoid balls —
+            # measured: constant deflection, the disambiguation target
+            # churns, and the gate opens on weaker evidence (match
+            # accuracy 95.8% -> 57.3%, RESULTS.md rim-guard study).
+            # Post-contact the score separates in 2-3 reads, so the
+            # true row is in the top few with overwhelming probability;
+            # pre-contact every row ties and guarding an arbitrary
+            # subset is noise, so the guard stands down.
+            _, top_g = jax.lax.top_k(-score, guard_top)
+            guard_centers = bank.source[top_g, :2]               # [M, 2]
+            guard_active = n_contact >= 1
+        else:
+            guard_centers = bank.source[:, :2]
+            guard_active = jnp.ones((), bool)
+
         def _safe_move(a):
             # refuse any landing within the terminate radius of ANY
-            # candidate row.  When ``a`` is blocked, substitute the safe
+            # guarded candidate row.  When ``a`` is blocked, substitute
+            # the safe
             # move with the most CLOCKWISE-TANGENTIAL progress around the
             # nearest ball (bug-algorithm wall following) — substituting
             # the farthest-from-ball landing instead was traced
@@ -252,11 +276,11 @@ def make_bank_guide(
                                 [m, 0.0], [-m, 0.0]], jnp.float32)
             land = pos[None, :2] + deltas                        # [5, 2]
             d_all = jnp.linalg.norm(
-                land[:, None, :] - bank.source[None, :, :2], axis=-1,
-            )                                                    # [5, K]
+                land[:, None, :] - guard_centers[None, :, :], axis=-1,
+            )                                                    # [5, M]
             d_min = jnp.min(d_all, axis=-1)                      # [5]
             near = jnp.argmin(d_all[0])
-            u = pos[:2] - bank.source[near, :2]
+            u = pos[:2] - guard_centers[near]
             tangent = jnp.array([u[1], -u[0]])                   # clockwise
             t_score = deltas[1:] @ tangent / (
                 jnp.linalg.norm(tangent) + 1e-6) / m             # [4] in [-1,1]
@@ -265,7 +289,7 @@ def make_bank_guide(
             pref = jnp.where(safe, t_score + 1e-4 * d_min[1:],
                              -1e3 + 1e-3 * d_min[1:])
             sub = moves[jnp.argmax(pref)]
-            a_ok = (d_min[a] > avoid_r) | (a == 0)
+            a_ok = (d_min[a] > avoid_r) | (a == 0) | ~guard_active
             return jnp.where(a_ok, a, sub).astype(jnp.int32)
 
         fallback = policy_action.astype(jnp.int32)

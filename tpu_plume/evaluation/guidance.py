@@ -835,6 +835,7 @@ def make_guide(
     terminate_radius: float | None = None,
     success_radius: float = 40.0,
     max_se: float | None = None,
+    search_after: int | None = None,
 ):
     """(init_state, step_fn) pair for evaluate_policy's guide hook.
 
@@ -843,6 +844,9 @@ def make_guide(
     tuned constants are not silently applied to another's physics.
     ``max_se`` overrides the derived validation gate (the CLI's
     ``--guide-max-se``: trade steer coverage against estimate precision).
+    ``search_after`` enables the anisotropic guide's resuming serpentine
+    contact search (ignored on the isotropic path, whose loss pool is
+    engagement accidents, not contact — RESULTS.md guided-gap study).
 
     Supported field models: the analytic isotropic Gaussian (the
     radial-symmetric inversion here) and the analytic anisotropic
@@ -865,6 +869,11 @@ def make_guide(
         )
         if max_se is not None:
             agcfg = dataclasses.replace(agcfg, max_se=max_se)
+        if search_after is not None:
+            # resuming serpentine contact search, ported from the bank
+            # guide (AnisoGuideConfig.search_after; 0 disables)
+            agcfg = dataclasses.replace(
+                agcfg, search_after=max(search_after, 0))
         return make_aniso_guide(cfg, agcfg)
     if cfg.plume_model != "isotropic":
         raise ValueError(
