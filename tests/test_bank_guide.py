@@ -293,3 +293,57 @@ def test_bank_guide_guard_top_restricts_to_scored_candidates():
     pos2 = jnp.array([190.0, 250.0], jnp.float32)
     gs, action, _ = stepj(gs, pos2, jnp.float32(0.0), jnp.int32(4), bank, t)
     assert int(action) == 4
+
+
+def test_bank_guide_entry_dive_rule():
+    """``entry_dive=True``: the local entry rule forbids only the
+    shallow-chord band ((deep_take, avoid_r] of a live ball), lets deep
+    entries pass, converts kill moves into deep dives when one is
+    available, and never fails open (chords are 0%-win moves)."""
+    from tpu_plume.fields.gridded import FieldBank
+
+    cfg = EnvConfig(plume_model="gridded", plume_sigma=500 / 16)
+    src = jnp.array([[250.0, 250.0]])
+    bank = FieldBank(conc=jnp.zeros((1, 500, 500)), source=src)
+    init, step = make_bank_guide(cfg, 1, rim_guard=True, rim_expire=64,
+                                 entry_dive=True)
+    stepj = jax.jit(lambda gs, p, c, a, b, t: step(gs, p, c, a, b, t))
+    t = jnp.zeros((), jnp.int32)
+    m = cfg.move_step
+    deltas = np.array([[0, 0], [0, m], [0, -m], [m, 0], [-m, 0]],
+                      np.float32)
+
+    # DEEP entry passes: 60 px east, west lands at 35 = deep_take —
+    # success-quality if the ball is true (the rim guard deflected this)
+    gs = init
+    pos = jnp.array([310.0, 250.0], jnp.float32)
+    gs, action, on = stepj(gs, pos, jnp.float32(0.0), jnp.int32(4), bank, t)
+    assert not bool(on)
+    assert int(action) == 4
+
+    # KILL chord substituted, and NOT failed open after rim_expire:
+    # 70 px east, west lands at 45 — the guaranteed-loss band
+    gs = init
+    pos = jnp.array([320.0, 250.0], jnp.float32)
+    for _ in range(70):
+        gs, action, _ = stepj(gs, pos, jnp.float32(0.0), jnp.int32(4),
+                              bank, t)
+        assert int(action) != 4
+        landing = np.asarray(pos) + deltas[int(action)]
+        d = np.linalg.norm(landing - np.asarray(src[0]))
+        assert d <= 35.0 or d > 50.0
+
+    # CHORD-TO-DIVE conversion: hovering in the (50, 55] shell is
+    # itself a kill (drift can cross the rim), and the preferred
+    # substitute is the available deep entry west (52 - 25 = 27 px)
+    gs = init
+    pos = jnp.array([302.0, 250.0], jnp.float32)
+    gs, action, _ = stepj(gs, pos, jnp.float32(0.0), jnp.int32(0), bank, t)
+    assert int(action) == 4
+
+    # a ball the drone is already INSIDE is dead (it did not terminate,
+    # so it is not the true row): moves near its center pass untouched
+    gs = init
+    pos = jnp.array([260.0, 250.0], jnp.float32)
+    gs, action, _ = stepj(gs, pos, jnp.float32(0.0), jnp.int32(4), bank, t)
+    assert int(action) == 4

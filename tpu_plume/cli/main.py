@@ -428,6 +428,7 @@ def cmd_eval(args):
             rim_guard=args.guide_rim_guard,
             rim_expire=args.guide_rim_expire,
             guard_top=args.guide_guard_top,
+            entry_dive=args.guide_entry_dive,
         )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
@@ -887,6 +888,16 @@ def build_parser():
                          "top-N scored rows' balls once contact exists "
                          "(0 = guard all rows; use on large banks where "
                          "the avoid balls tile the domain, e.g. K=64)")
+    sp.add_argument("--guide-entry-dive",
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="--guide bank: replace the rim guard's blanket "
+                         "ball deflection with the local entry rule — "
+                         "forbid only shallow-chord landings (the 42-49 px "
+                         "guaranteed-loss band) and convert imminent ball "
+                         "entries into deep radial dives (success-quality "
+                         "if the ball is true, free if wrong).  Scales to "
+                         "banks whose terminate balls tile the domain "
+                         "(K=64)")
     sp.add_argument("--guide-rim-expire", type=int, default=400,
                     help="rim guard fail-open budget in steps (after this "
                          "many steps an unidentified episode hands control "

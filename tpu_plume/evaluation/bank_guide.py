@@ -146,6 +146,7 @@ def make_bank_guide(
     rim_guard: bool = True,
     rim_expire: int = 400,
     guard_top: int = 0,
+    entry_dive: bool = False,
     terminate_radius: float = 50.0,
     success_radius: float = 40.0,
 ):
@@ -292,6 +293,62 @@ def make_bank_guide(
             a_ok = (d_min[a] > avoid_r) | (a == 0) | ~guard_active
             return jnp.where(a_ok, a, sub).astype(jnp.int32)
 
+        def _entry_rule(a):
+            # ENTRY-DIVE rule (``entry_dive=True``): local, stateless
+            # ball handling for banks whose terminate balls TILE the
+            # domain (K=64: 64 x pi*50^2 = 2x the 500^2 area, so the
+            # full rim guard deflects constantly while ``guard_top``'s
+            # pre-contact stand-down re-opens the chord lottery —
+            # RESULTS.md K=64 rows).  Only the single ball a move could
+            # actually enter is ever constrained:
+            #   - LIVE ball: center farther than ``terminate_radius``
+            #     from the CURRENT position (standing inside a ball
+            #     that did not terminate already proves it wrong);
+            #   - KILL landing: within (deep_take, avoid_r] of any
+            #     live ball — the shallow chord that lands at
+            #     deviation 42-49 if that ball is true, the measured
+            #     one-third loss pool — forbidden, no expiry (chords
+            #     were 0%-win moves; unlike the rim guard there is no
+            #     lottery upside to fail open to);
+            #   - DEEP landing: <= deep_take of a live ball and not a
+            #     kill — success-quality if the ball is true, free if
+            #     wrong — allowed through, and PREFERRED as the
+            #     substitute for a killed move (chord-to-dive
+            #     conversion: with 25 px moves any approach aligns
+            #     with an axis within a few tangent steps, so every
+            #     true-ball encounter becomes a deep landing instead
+            #     of a coin flip);
+            #   - otherwise tangential around the nearest live ball,
+            #     same bug-style wall following as ``_safe_move``.
+            deltas = jnp.array([[0.0, 0.0], [0.0, m], [0.0, -m],
+                                [m, 0.0], [-m, 0.0]], jnp.float32)
+            land = pos[None, :2] + deltas                    # [5, 2]
+            centers = bank.source[:, :2]                     # [K, 2]
+            big = jnp.float32(1e9)
+            d0 = jnp.linalg.norm(pos[None, :2] - centers, axis=-1)
+            live = d0 > terminate_radius                     # [K]
+            d_land = jnp.linalg.norm(
+                land[:, None, :] - centers[None, :, :], axis=-1)
+            d_live = jnp.where(live[None, :], d_land, big)   # [5, K]
+            kill = jnp.any(
+                (d_live > deep_take) & (d_live <= avoid_r), axis=-1)
+            dmin = jnp.min(d_live, axis=-1)                  # [5]
+            deep = (~kill) & (dmin <= deep_take)
+            near = jnp.argmin(jnp.where(live, d0, big))
+            u = pos[:2] - centers[near]
+            tangent = jnp.array([u[1], -u[0]])               # clockwise
+            t_score = deltas[1:] @ tangent / (
+                jnp.linalg.norm(tangent) + 1e-6) / m
+            moves = jnp.arange(1, 5, dtype=jnp.int32)
+            pref = jnp.where(
+                kill[1:], -1e3 + 1e-3 * dmin[1:],
+                jnp.where(deep[1:], 1e2 + (deep_take - dmin[1:]),
+                          t_score + 1e-4 * dmin[1:]))
+            sub = moves[jnp.argmax(pref)]
+            return jnp.where(kill[a], sub, a).astype(jnp.int32)
+
+        move_filter = _entry_rule if entry_dive else _safe_move
+
         fallback = policy_action.astype(jnp.int32)
         sweep_down = gs.sweep_down
         if search_after is not None:
@@ -307,7 +364,7 @@ def make_bank_guide(
             going_right = band % 2 == 0
             turn = jnp.where(going_right, x >= g - 1.2 * m, x <= 1.2 * m)
             vert = jnp.where(sweep_down, 2, 1)
-            s_action = _safe_move(jnp.where(
+            s_action = move_filter(jnp.where(
                 turn, vert, jnp.where(going_right, 3, 4)
             ).astype(jnp.int32))
             # RESUME when contact dries up: a single noise spike over the
@@ -321,7 +378,11 @@ def make_bank_guide(
             # timeouts, when the sweep outlived the guard).
             searching = (~est_ok) & (
                 count - last_contact >= search_after)
-            if rim_guard:
+            if rim_guard and not entry_dive:
+                # under the rim guard the sweep honors the fail-open
+                # budget (see above); under the entry rule the sweep's
+                # own ball entries BECOME dives, so it never blocks the
+                # chord-win pool and needs no expiry
                 searching = searching & (count < rim_expire)
             fallback = jnp.where(searching, s_action, fallback)
         if rim_guard:
@@ -371,9 +432,18 @@ def make_bank_guide(
             discriminating = ((~est_ok) & (n_contact >= min_contact)
                               & guard_on & have_evidence)
             fallback = jnp.where(discriminating, disc, fallback)
-            # while unidentified, the policy must not cross any candidate
-            # ball: deflect rim-bound steps (see module docstring)
-            fallback = jnp.where(guard_on, _safe_move(fallback), fallback)
+            if not entry_dive:
+                # while unidentified, the policy must not cross any
+                # candidate ball: deflect rim-bound steps (module
+                # docstring)
+                fallback = jnp.where(
+                    guard_on, _safe_move(fallback), fallback)
+        if entry_dive:
+            # the entry rule replaces the rim guard's blanket deflection
+            # for EVERY ungated step (policy, sweep, and disambiguation
+            # moves alike) with no expiry — it forbids only
+            # guaranteed-loss shallow chords and lets deep entries pass
+            fallback = _entry_rule(fallback)
         fallback = fallback.astype(policy_action.dtype)
         action = jnp.where(est_ok, g_action, fallback).astype(
             policy_action.dtype
