@@ -145,6 +145,22 @@ def test_cli_gridded_bank_train(tmp_path, capsys):
     assert payload["env_steps"] == 64
 
 
+def test_cli_bank_without_gridded_model_rejected(tmp_path):
+    """A bank flag on a non-gridded env must fail LOUDLY: it would be
+    silently ignored and the run would train on the preset's procedural
+    physics instead (costs a full training run before the eval-time
+    --guide bank error surfaces it)."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="plume-model gridded"):
+        main([
+            "train", "--preset", "wrf_les", "--synth-bank", "static",
+            "--bank-fields", "2", "--out", str(tmp_path / "r"),
+            "--envs", "8", "--unroll", "8", "--minibatch", "32",
+            "--iterations", "1",
+        ])
+
+
 def test_cli_distilled_train_and_oracle_expert(tmp_path, capsys):
     """--distill wires the teacher into the fused step; expert --oracle
     collects teacher demonstrations without a checkpoint."""

@@ -133,9 +133,20 @@ def _make_bank(args, cfg):
     path).  Returns None for analytic plume models."""
     from tpu_plume.fields import gridded
 
-    if getattr(args, "bank", None):
-        return gridded.maybe_pack(gridded.ingest_netcdf(args.bank), cfg.env)
+    has_bank = bool(getattr(args, "bank", None))
     kind = getattr(args, "synth_bank", None)
+    if (has_bank or kind is not None) and cfg.env.plume_model != "gridded":
+        # a bank flag on a non-gridded env would be silently IGNORED —
+        # the run trains/evals on the preset's procedural physics while
+        # the user believes they are on the bank (costs a full training
+        # run before the eval's --guide bank error surfaces it)
+        raise SystemExit(
+            f"--synth-bank/--bank given but plume_model="
+            f"'{cfg.env.plume_model}' would ignore it; add "
+            f"--plume-model gridded (or a gridded preset)"
+        )
+    if has_bank:
+        return gridded.maybe_pack(gridded.ingest_netcdf(args.bank), cfg.env)
     if kind is None:
         if cfg.env.plume_model == "gridded":
             raise SystemExit(

@@ -320,6 +320,15 @@ def make_bank_guide(
             #     of a coin flip);
             #   - otherwise tangential around the nearest live ball,
             #     same bug-style wall following as ``_safe_move``.
+            # ONLY the single nearest live ball constrains the step.
+            # Testing landings against every ball's shell measured
+            # paralysis at K=64: the (deep_take, avoid_r] bands jointly
+            # cover ~1.4x the domain, so nearly every inward move was
+            # "kill" w.r.t. SOME ball and flights thrashed to timeout
+            # (32-ep smoke: 9% success, mean 909 steps).  Per-step risk
+            # is ~1/K per foreign ball; the ball actually being
+            # APPROACHED — the nearest — carries the measured chord
+            # pool, and single-ball tests can never wall off the domain.
             deltas = jnp.array([[0.0, 0.0], [0.0, m], [0.0, -m],
                                 [m, 0.0], [-m, 0.0]], jnp.float32)
             land = pos[None, :2] + deltas                    # [5, 2]
@@ -327,24 +336,24 @@ def make_bank_guide(
             big = jnp.float32(1e9)
             d0 = jnp.linalg.norm(pos[None, :2] - centers, axis=-1)
             live = d0 > terminate_radius                     # [K]
-            d_land = jnp.linalg.norm(
-                land[:, None, :] - centers[None, :, :], axis=-1)
-            d_live = jnp.where(live[None, :], d_land, big)   # [5, K]
-            kill = jnp.any(
-                (d_live > deep_take) & (d_live <= avoid_r), axis=-1)
-            dmin = jnp.min(d_live, axis=-1)                  # [5]
-            deep = (~kill) & (dmin <= deep_take)
             near = jnp.argmin(jnp.where(live, d0, big))
-            u = pos[:2] - centers[near]
-            tangent = jnp.array([u[1], -u[0]])               # clockwise
-            t_score = deltas[1:] @ tangent / (
-                jnp.linalg.norm(tangent) + 1e-6) / m
-            moves = jnp.arange(1, 5, dtype=jnp.int32)
-            pref = jnp.where(
-                kill[1:], -1e3 + 1e-3 * dmin[1:],
-                jnp.where(deep[1:], 1e2 + (deep_take - dmin[1:]),
-                          t_score + 1e-4 * dmin[1:]))
-            sub = moves[jnp.argmax(pref)]
+            c = centers[near]
+            dn = jnp.linalg.norm(land - c[None, :], axis=-1)  # [5]
+            kill = live[near] & (dn > deep_take) & (dn <= avoid_r)
+            # substitute: one step of the SHARED dive controller at the
+            # threatened ball.  A tangential substitute measured as an
+            # outward ratchet (each tangent landing sits at
+            # sqrt(r^2 + m^2) > r, so blocked flights orbited at 55-70 px
+            # forever: 32-ep smoke mean 548 steps, 41% success);
+            # phase_action instead walks the ring to axis alignment and
+            # takes only landings <= deep_take — the controller keeps
+            # pushing inward exactly while its own moves stay blocked,
+            # so the dive completes, and if the ball was wrong it goes
+            # dead on entry (non-termination) and control falls back.
+            sub = phase_action(
+                pos[:2], c, cfg, terminate_radius, deep_target,
+                setup_distance, deep_take=deep_take,
+            ).astype(jnp.int32)
             return jnp.where(kill[a], sub, a).astype(jnp.int32)
 
         move_filter = _entry_rule if entry_dive else _safe_move
