@@ -6,7 +6,8 @@
 #   entry     — the entry-dive rule (forbid shallow chords, convert ball
 #               entries to phase dives; replaces the rim guard's deflection)
 #   entry_m15 — entry rule + score-margin 1.5 (exact-identification variant)
-set -x
+set -xe
+trap 'echo FAILED > $R/g64.failed' ERR
 R=/root/runs
 mkdir -p $R
 REC="--preset wrf_les --plume-model gridded --synth-bank static --bank-fields 64 --reward delta --obs-memory --envs 512 --unroll 64 --minibatch 4096 --lr 1e-4"
