@@ -331,3 +331,51 @@ def test_bf16_update_split_step():
     assert np.isfinite(float(stats["loss/total"]))
     _, _, stats_f32 = one_step(cfg)
     assert float(stats["loss/total"]) != float(stats_f32["loss/total"])
+
+def test_f32_heads_split_step():
+    """--f32-heads under --bf16-update: same f32 param tree (checkpoint
+    compatible), runs finite, and differs from both the pure-bf16-update
+    and pure-f32 losses (heads really computed at a third precision mix).
+    A no-op without a bf16 path: the f32+f32_heads step matches plain f32
+    bit-for-bit."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_plume.rl.curriculum import curriculum_init
+    from tpu_plume.rollout.rollout import init_rollout
+    from tpu_plume.train.ppo_trainer import (
+        LoopCarry, build_train_step, make_train_state,
+    )
+
+    cfg = _tiny_cfg()
+    key = jax.random.PRNGKey(0)
+
+    def one_step(cfg):
+        ts = make_train_state(cfg, key)
+        rollout = init_rollout(
+            key, cfg.env, cfg.rollout.num_envs,
+            radius=cfg.curriculum.initial_radius,
+            explore_bonus=cfg.env.explore_bonus_init,
+        )
+        loop = LoopCarry(
+            train_state=ts, rollout=rollout,
+            curriculum=curriculum_init(cfg.curriculum, cfg.env.explore_bonus_init),
+            key=key,
+        )
+        out, stats, _ = build_train_step(cfg)(loop)
+        return ts, out, stats
+
+    mk = lambda **kw: dataclasses.replace(
+        cfg, ppo=dataclasses.replace(cfg.ppo, **kw))
+    _, out_h, stats_h = one_step(mk(bf16_update=True, f32_heads=True))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(out_h.train_state.params))
+    assert np.isfinite(float(stats_h["loss/total"]))
+    _, _, stats_bf = one_step(mk(bf16_update=True))
+    _, _, stats_f32 = one_step(cfg)
+    assert float(stats_h["loss/total"]) != float(stats_bf["loss/total"])
+    assert float(stats_h["loss/total"]) != float(stats_f32["loss/total"])
+    _, _, stats_noop = one_step(mk(f32_heads=True))
+    assert float(stats_noop["loss/total"]) == float(stats_f32["loss/total"])

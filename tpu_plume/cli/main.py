@@ -101,6 +101,8 @@ def _apply_overrides(cfg, args):
         ppo = dataclasses.replace(ppo, bf16_compute=True)
     if getattr(args, "bf16_update", False):
         ppo = dataclasses.replace(ppo, bf16_update=True)
+    if getattr(args, "f32_heads", False):
+        ppo = dataclasses.replace(ppo, f32_heads=True)
     if getattr(args, "hidden", None):
         ppo = dataclasses.replace(
             ppo, hidden_sizes=tuple(int(h) for h in args.hidden.split(","))
@@ -717,6 +719,10 @@ def build_parser():
                         help="bfloat16 compute in the PPO update only "
                              "(f32 rollout + f32 params) — the mixed "
                              "split for quality-sensitive physics")
+        sp.add_argument("--f32-heads", action="store_true",
+                        help="keep the actor/critic heads in f32 under "
+                             "--bf16/--bf16-update (terminal-precision "
+                             "recovery; free — heads are 128->5/128->1)")
         sp.add_argument("--hidden",
                         help='trunk widths, e.g. "512,256" (default 256,128 '
                              "— the reference architecture)")

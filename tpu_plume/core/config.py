@@ -264,6 +264,13 @@ class PPOConfig:
     # study: 38.4% guided vs f32's 48-53) lives in the rollout or the
     # gradient mantissa.  Ignored when bf16_compute is already on.
     bf16_update: bool = False
+    # Keep the actor/critic HEADS in f32 inside the bf16 update twin
+    # (round-5 terminal-precision study): the split's one residual vs f32
+    # is the radius-5 bullseye (61.0 vs 68.6) — the candidate mechanism is
+    # head-matmul rounding of the value surface near terminal states.
+    # Heads are 128->5 / 128->1, so this costs no measurable throughput.
+    # Only meaningful with bf16_update or bf16_compute.
+    f32_heads: bool = False
     # Fused Pallas fwd+bwd gradient kernel for the standard feedforward
     # ActorCritic (ops/pallas_ppo.py): activations stay in VMEM instead of
     # round-tripping HBM between the forward and backward matmuls — the

@@ -70,6 +70,10 @@ class EvalMetrics:
     # episode end + the episode's true row (confusion-rate diagnostic)
     guide_match: np.ndarray | None = None
     field_idx: np.ndarray | None = None
+    # in-plume sample count at episode end (bank guide: n_contact; guides
+    # without the field report 0) — per-episode loss accounting needs to
+    # split never-contacted flights from contacted-but-ungated ones
+    guide_contacts: np.ndarray | None = None
 
     def save_csv(self, path: str):
         """The V1.1 evaluator's evaluation_results.csv schema
@@ -101,7 +105,8 @@ class EvalMetrics:
         # only for guided runs so plain rows stay reference-shaped)
         for k in ("guide_hover", "guide_fit_ok", "guide_samples",
                   "guide_est", "guide_refutes", "guide_dmin",
-                  "guide_committed", "guide_match", "field_idx"):
+                  "guide_committed", "guide_match", "field_idx",
+                  "guide_contacts"):
             v = getattr(self, k)
             if v is not None:
                 data[k] = v
@@ -326,7 +331,9 @@ def evaluate_policy(
                      # bank-match guides: identified row vs the true row
                      getattr(carry.guide_state, "match",
                              jnp.zeros_like(carry.guide_state.mode)),
-                     carry.env_state.field.idx)
+                     carry.env_state.field.idx,
+                     getattr(carry.guide_state, "n_contact",
+                             jnp.zeros_like(carry.guide_state.mode)))
         else:
             gdiag = None
         return (deviation, carry.steps, carry.stopped_early, peak_pred,
@@ -354,6 +361,7 @@ def evaluate_policy(
         guide_committed=None if gdiag is None else np.asarray(gdiag[6]),
         guide_match=None if gdiag is None else np.asarray(gdiag[7]),
         field_idx=None if gdiag is None else np.asarray(gdiag[8]),
+        guide_contacts=None if gdiag is None else np.asarray(gdiag[9]),
     )
 
 

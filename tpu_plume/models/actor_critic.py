@@ -24,6 +24,14 @@ class ActorCritic(nn.Module):
     num_actions: int = 5
     hidden_sizes: Sequence[int] = (256, 128)
     dtype: jnp.dtype = jnp.float32
+    # Terminal-precision escape hatch for mixed-precision training: compute
+    # the actor/critic HEADS (and their LayerNorm'd input) in this dtype
+    # while the trunk stays ``dtype``.  The heads are 128->5 and 128->1 —
+    # negligible FLOPs — but their precision bounds how finely the value
+    # surface can distinguish near-terminal states (the bf16-update split's
+    # one measured regression is the radius-5 bullseye, RESULTS.md
+    # mixed-precision section).  None = same as ``dtype``.
+    head_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -36,16 +44,18 @@ class ActorCritic(nn.Module):
             )(x)
             x = nn.LayerNorm(dtype=self.dtype)(x)
             x = nn.relu(x)
+        hd = self.dtype if self.head_dtype is None else self.head_dtype
+        x = x.astype(hd)
         logits = nn.Dense(
             self.num_actions,
             kernel_init=nn.initializers.orthogonal(0.01),
             bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
+            dtype=hd,
         )(x)
         value = nn.Dense(
             1,
             kernel_init=nn.initializers.orthogonal(1.0),
             bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
+            dtype=hd,
         )(x)
         return logits.astype(jnp.float32), jnp.squeeze(value, -1).astype(jnp.float32)

@@ -76,10 +76,16 @@ def make_policy_model(cfg: TrainConfig, dtype=None):
             dtype=dtype,
             layer_norm_cell=cfg.ppo.lstm_layer_norm,
         )
+    # --f32-heads: under any bf16 compute path the heads stay f32 (the
+    # terminal-precision split; no-op when dtype is already f32 since
+    # head_dtype=None means "follow dtype")
+    head_dtype = (jnp.float32 if (cfg.ppo.f32_heads
+                                  and dtype == jnp.bfloat16) else None)
     return ActorCritic(
         num_actions=cfg.env.num_actions,
         hidden_sizes=cfg.ppo.hidden_sizes,
         dtype=dtype,
+        head_dtype=head_dtype,
     )
 
 
