@@ -50,8 +50,11 @@ from tpu_plume.train.ppo_trainer import make_policy_model  # noqa: E402
 ARMS = {
     "guard_top4": dict(guard_top=4),
     "guard_top4_m15": dict(guard_top=4, margin=1.5),
+    "guard_top4_dive": dict(guard_top=4, dive_bias=True),
     "rim": {},
+    "rim_dive": dict(dive_bias=True),
     "none": dict(rim_guard=False),
+    "none_dive": dict(rim_guard=False, dive_bias=True),
 }
 
 

@@ -472,3 +472,54 @@ def test_anisotropic_vertical_profile():
     vals = [float(_anisotropic_base(fs, fx, fy, cfg, z=jnp.float32(z)))
             for z in (20.0, 24.0, 28.0, 33.0)]
     assert vals[0] > vals[1] > vals[2] > vals[3] > 0.0
+
+
+def test_synthesize_les_bank():
+    """Round-5 model-mismatch surrogate: [K, T, H, W] shape, hot sources,
+    temporal intermittency (the non-Gaussian property the robustness study
+    needs), env rollout against it, and the ingest round-trip."""
+    import dataclasses
+
+    from tpu_plume.fields.gridded import synthesize_les_bank
+
+    cfg = EnvConfig(plume_model="gridded", max_steps=30)
+    bank = synthesize_les_bank(
+        jax.random.PRNGKey(0), cfg, num_fields=3, num_frames=6)
+    c = np.asarray(bank.conc)
+    assert c.shape == (3, 6, 500, 500)
+    assert np.isfinite(c).all() and c.min() >= 0
+    src = np.asarray(bank.source)
+    for k in range(3):
+        i, j = src[k].astype(int)
+        # the near-source kernel keeps the release point hot in EVERY frame
+        assert c[k, :, i, j].min() > 0.3 * cfg.conc_peak
+    # intermittency: downstream cells' across-time max/mean well above 1
+    # (a steady Gaussian-ribbon bank sits at ~1 by construction)
+    active = c.max(axis=1) > 0.01 * cfg.conc_peak
+    ratio = c.max(axis=1) / (c.mean(axis=1) + 1e-6)
+    assert np.median(ratio[active]) > 2.0
+
+    # env steps against it (time-varying sampling path)
+    state, obs = methane.reset(jax.random.PRNGKey(1), cfg, bank=bank)
+    key = jax.random.PRNGKey(2)
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        state, tr = methane.step(state, jnp.int32(i % 5), sub, cfg, bank)
+        assert np.isfinite(float(tr.reward))
+
+
+def test_les_bank_netcdf_roundtrip(tmp_path):
+    from tpu_plume.fields.gridded import synthesize_les_bank
+
+    cfg = EnvConfig(plume_model="gridded")
+    bank = synthesize_les_bank(
+        jax.random.PRNGKey(0), cfg, num_fields=2, num_frames=4)
+    path = str(tmp_path / "les.nc")
+    export_bank_netcdf(bank, path)
+    loaded = ingest_netcdf(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded.conc), np.asarray(bank.conc), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(loaded.source), np.asarray(bank.source))
+    assert loaded.steps_per_frame == bank.steps_per_frame
+    assert loaded.wind is not None

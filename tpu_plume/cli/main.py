@@ -161,6 +161,12 @@ def _make_bank(args, cfg):
     k = args.bank_fields or (4 if kind == "3d" else 64)
     if kind == "static":
         bank = gridded.synthesize_bank(key, cfg.env, num_fields=k)
+    elif kind == "les":
+        bank = gridded.synthesize_les_bank(
+            key, cfg.env, num_fields=args.bank_fields or 16,
+            num_frames=args.bank_frames or 16,
+            steps_per_frame=args.bank_spf or 64.0,
+        )
     elif kind == "time":
         bank = gridded.synthesize_time_varying_bank(
             key, cfg.env, num_fields=k,
@@ -640,7 +646,7 @@ def build_parser():
                         help="override the preset's plume model")
         sp.add_argument("--bank", help="WRF-LES NetCDF field bank to ingest "
                         "(plume_model=gridded)")
-        sp.add_argument("--synth-bank", choices=["static", "time", "3d"],
+        sp.add_argument("--synth-bank", choices=["static", "time", "3d", "les"],
                         help="procedurally synthesize a gridded field bank")
         sp.add_argument("--bank-fields", type=int, help="bank rows K")
         sp.add_argument("--bank-frames", type=int, help="time frames T")

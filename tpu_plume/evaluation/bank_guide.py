@@ -147,6 +147,7 @@ def make_bank_guide(
     rim_expire: int = 400,
     guard_top: int = 0,
     entry_dive: bool = False,
+    dive_bias: bool = False,
     terminate_radius: float = 50.0,
     success_radius: float = 40.0,
 ):
@@ -453,6 +454,52 @@ def make_bank_guide(
             # moves alike) with no expiry — it forbids only
             # guaranteed-loss shallow chords and lets deep entries pass
             fallback = _entry_rule(fallback)
+        if dive_bias:
+            # DIVE-BIAS substitution (round-5, from the K=64 per-episode
+            # accounting, scripts/g64_accounting.py): 58% of guard_top
+            # failures are BLIND chord deaths — zero-contact flights that
+            # cross the true ball at mean step 32 and terminate at mean
+            # deviation 45.2, just outside the 40-px success radius —
+            # because guard_top stands down pre-contact and nothing
+            # polices the chord geometry.  Both prior fixes overreached:
+            # the full rim guard BLOCKS entries (64 balls tile the domain
+            # — constant deflection), the entry-dive rule ADDS dives
+            # (phase-controller substitution burned the step budget at
+            # wrong balls, 412 mean steps, 45.9%).  This rule does
+            # neither: ONLY when the already-chosen ungated move crosses
+            # into the nearest live ball does it substitute the
+            # DEEPEST-LANDING of the five moves at that ball.  It never
+            # blocks (no tiling paralysis), never initiates an entry
+            # (no budget waste at wrong balls — a wrong ball's deep
+            # landing costs exactly what its chord landing did: nothing),
+            # and substitutes only for the one landing that was about to
+            # happen.  Geometry (move 25, ball 50): a deep landing
+            # (<= deep_take) exists only from d <= ~60, but chords are
+            # entered from anywhere in (50, 75].  STRIKE deepest when a
+            # <= deep_take landing exists; otherwise leave the policy's
+            # chord UNTOUCHED — a hold-at-the-closest-non-entering-
+            # landing variant was measured (256-ep CPU): it stalls
+            # flights at wrong-ball rims (mean steps 137 -> 441, new
+            # timeout buckets, match accuracy 83.6% -> 61%) and destroys
+            # the ungated chord-lottery wins (20.4% -> 13.7% of
+            # episodes), netting 49.2% s@40 vs the 56.8% baseline.  Far
+            # entries stay a lottery; only the winnable near entries are
+            # converted.
+            deltas = jnp.array([[0.0, 0.0], [0.0, m], [0.0, -m],
+                                [m, 0.0], [-m, 0.0]], jnp.float32)
+            land = pos[None, :2] + deltas                    # [5, 2]
+            centers = bank.source[:, :2]                     # [K, 2]
+            big = jnp.float32(1e9)
+            d0b = jnp.linalg.norm(pos[None, :2] - centers, axis=-1)
+            liveb = d0b > terminate_radius                   # [K]
+            nearb = jnp.argmin(jnp.where(liveb, d0b, big))
+            dnb = jnp.linalg.norm(
+                land - centers[nearb][None, :], axis=-1)     # [5]
+            entering = liveb[nearb] & (dnb[fallback] <= terminate_radius)
+            strike = jnp.argmin(dnb).astype(jnp.int32)
+            do_strike = entering & (jnp.min(dnb) <= deep_take)
+            fallback = jnp.where(do_strike, strike, fallback).astype(
+                policy_action.dtype)
         fallback = fallback.astype(policy_action.dtype)
         action = jnp.where(est_ok, g_action, fallback).astype(
             policy_action.dtype

@@ -524,6 +524,110 @@ def synthesize_3d_bank(
     )
 
 
+def synthesize_les_bank(
+    key: jax.Array,
+    cfg: EnvConfig,
+    num_fields: int = 16,
+    num_frames: int = 16,
+    steps_per_frame: float = 64.0,
+    grid: int | None = None,
+    num_puffs: int = 12,
+    meander_amp: float = 35.0,
+    meander_wavelength: float = 160.0,
+    width_gain: float = 0.12,
+    intermittency: float = 1.5,
+) -> FieldBank:
+    """Model-MISMATCH surrogate for WRF-LES output (round-5 robustness
+    study): time-varying [K, T, H, W] fields deliberately OUTSIDE the
+    sigma_y = 0.3 x^0.71 Gaussian-ribbon family every estimator in this
+    repo assumes (the reference's README aspires to WRF-LES physics it
+    never coded, /root/reference/README.md:50,97 — and every quality
+    number measured so far lives on fields drawn from the estimators' own
+    dispersion family).
+
+    Ingredients, per field:
+      - a MEANDERING, CURVED centerline: crosswind offset
+        A*sin(2 pi (s/lambda - t/T)) ramping up downstream (the meander
+        advects frame to frame) plus a random quadratic bend (the
+        stand-in for spatially varying wind);
+      - INTERMITTENT PUFFS: concentration lives in ``num_puffs`` discrete
+        along-plume blobs that advect downstream with t and recycle, each
+        amplitude-modulated by a random-phase on/off envelope raised to
+        ``intermittency`` (sporadic reads, like LES intermittency);
+      - LINEAR width growth sigma_n = 2 + width_gain * s (not the 0.3
+        s^0.71 power law), along-wind puff stretch 3x;
+      - a steady near-source kernel so the release point itself stays the
+        field's hot spot (sources remain well-defined targets).
+
+    Same contract as the other synthesizers: per-field max scaled to
+    ``cfg.conc_peak``, per-frame wind vectors recorded, round-trips
+    through export_bank_netcdf/ingest_netcdf."""
+    g = grid or cfg.grid_size
+    ks = jax.random.split(key, 8)
+    lo, hi = cfg.source_padding, g - cfg.source_padding
+    sources = jax.random.uniform(ks[0], (num_fields, 2), jnp.float32, lo, hi)
+    theta0 = jax.random.uniform(ks[1], (num_fields,), jnp.float32,
+                                0, 2 * jnp.pi)
+    bend = jax.random.uniform(ks[2], (num_fields,), jnp.float32, -0.6, 0.6)
+    phase = jax.random.uniform(ks[3], (num_fields,), jnp.float32,
+                               0, 2 * jnp.pi)
+    puff_phase = jax.random.uniform(ks[4], (num_fields, num_puffs),
+                                    jnp.float32, 0, 2 * jnp.pi)
+    puff_rate = jax.random.uniform(ks[5], (num_fields, num_puffs),
+                                   jnp.float32, 0.5, 2.0)
+    veer = jax.random.uniform(ks[6], (num_fields,), jnp.float32, -0.5, 0.5)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1).astype(jnp.float32)
+    s_max = 1.1 * g
+    spacing = s_max / num_puffs
+
+    def one_frame(src, th, bd, ph, pph, prt, tf):
+        # along/cross-wind coordinates of every cell
+        dx, dy = ix - src[0], iy - src[1]
+        s = dx * jnp.cos(th) + dy * jnp.sin(th)       # downstream
+        n = -dx * jnp.sin(th) + dy * jnp.cos(th)      # crosswind
+        ramp = jnp.clip(s / meander_wavelength, 0.0, 1.0)
+        center = (meander_amp * ramp
+                  * jnp.sin(2 * jnp.pi * (s / meander_wavelength - tf)
+                            + ph)
+                  + bd * s * s / s_max)               # curved centerline
+        sig_n = 2.0 + width_gain * jnp.maximum(s, 0.0)
+        sig_s = 3.0 * sig_n
+        # puff centers advect downstream and recycle over s_max
+        sj = jnp.mod(jnp.arange(num_puffs) * spacing
+                     + tf * 2.0 * spacing, s_max)     # [P]
+        # intermittency envelope: smooth random on/off per puff
+        env = jnp.maximum(
+            jnp.sin(2 * jnp.pi * (prt * tf) + pph), 0.0
+        ) ** intermittency                            # [P]
+        amp = env * 30.0 / (sj + 30.0)                # dilution with range
+        blob = amp[:, None, None] * jnp.exp(
+            -((s[None] - sj[:, None, None]) ** 2
+              / (2.0 * sig_s[None] ** 2)
+              + (n[None] - center[None]) ** 2
+              / (2.0 * sig_n[None] ** 2))
+        )                                             # [P, H, W]
+        near = jnp.exp(-(dx * dx + dy * dy) / (2.0 * 3.0 ** 2))
+        return jnp.sum(blob, axis=0) * (s > -5.0) + near
+
+    def one_field(src, th, bd, ph, pph, prt, vr):
+        tfs = jnp.linspace(0.0, 1.0, num_frames)
+        f = jax.vmap(lambda tf: one_frame(src, th + vr * tf, bd, ph,
+                                          pph, prt, tf))(tfs)
+        return f * (cfg.conc_peak / jnp.maximum(jnp.max(f), 1e-6))
+
+    conc = jax.vmap(one_field)(sources, theta0, bend, phase,
+                               puff_phase, puff_rate, veer)
+    tfs = jnp.linspace(0.0, 1.0, num_frames)
+    thetas = theta0[:, None] + veer[:, None] * tfs[None, :]
+    wind = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)
+    return FieldBank(
+        conc=conc, source=sources, wind=wind,
+        steps_per_frame=steps_per_frame,
+    )
+
+
 def ingest_netcdf(
     path: str,
     conc_var: str = "concentration",
