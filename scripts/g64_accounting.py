@@ -51,6 +51,12 @@ ARMS = {
     "guard_top4": dict(guard_top=4),
     "guard_top4_m15": dict(guard_top=4, margin=1.5),
     "guard_top4_dive": dict(guard_top=4, dive_bias=True),
+    "guard_top4_sticky": dict(guard_top=4, sticky_target=True),
+    "guard_top4_sticky_dive": dict(guard_top=4, sticky_target=True,
+                                   dive_bias=True),
+    "guard_top4_search10": dict(guard_top=4, search_after=10),
+    "guard_top4_sticky_search10": dict(guard_top=4, sticky_target=True,
+                                       search_after=10),
     "rim": {},
     "rim_dive": dict(dive_bias=True),
     "none": dict(rim_guard=False),
@@ -79,12 +85,11 @@ def main():
     model = make_policy_model(cfg)
     params = jax.tree.map(jnp.asarray, restore_checkpoint(ckpt)["params"])
 
-    guide = make_bank_guide(
-        cfg.env, k_rows, min_contact=2, check_every=1, search_after=50,
-        rim_guard=True, rim_expire=400,
-        terminate_radius=50.0, success_radius=cfg.eval.success_distance,
-        **ARMS[arm],
-    )
+    kw = dict(min_contact=2, check_every=1, search_after=50,
+              rim_guard=True, rim_expire=400, terminate_radius=50.0,
+              success_radius=cfg.eval.success_distance)
+    kw.update(ARMS[arm])
+    guide = make_bank_guide(cfg.env, k_rows, **kw)
     m = evaluate_policy(
         params, model.apply, cfg.env, cfg.eval, jax.random.PRNGKey(seed),
         num_episodes=n_eval, greedy=True, guide=guide, bank=bank,

@@ -153,3 +153,47 @@ def test_flux_study_coverage_survey_beats_random():
     assert ras["localized_frac"] >= rnd["localized_frac"] + 0.2, (ras, rnd)
     assert ras["within_20pct"] >= 0.75, ras
     assert ras["observed_frac"] >= 0.95, ras
+
+
+def test_reseat_recovers_merged_pair():
+    """Stage-4 residual re-seating: two sources ~1.5 sigma apart + one far —
+    greedy picking with the 3-sigma suppression radius parks two candidates
+    on the stronger cores and loses one; the reseat moves the duplicate to
+    the unexplained residual peak."""
+    from tpu_plume.evaluation.flux import estimate_sources
+
+    cfg = EnvConfig(num_sources=3, turbulence_intensity=0.0)
+    srcs = jnp.asarray([[150.0, 150.0], [150.0, 200.0], [380.0, 380.0]])
+    q_true = jnp.asarray([1.0, 0.9, 1.1])
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(0, 499, (2000, 2)), jnp.float32)
+    concs = design_matrix(pts, srcs, jnp.zeros(2), cfg) @ q_true
+    est0 = np.asarray(estimate_sources(pts, concs, 3, cfg, reseat_iters=0))
+    est1 = np.asarray(estimate_sources(pts, concs, 3, cfg, reseat_iters=1))
+    def worst(est):
+        d = np.linalg.norm(est[:, None] - np.asarray(srcs)[None], axis=-1)
+        return d.min(axis=0).max()
+    # reseat must not be worse, and must land every source within 15 px
+    assert worst(est1) <= max(worst(est0), 15.0)
+    assert worst(est1) < 15.0, (est0, est1)
+
+
+def test_joint_refine_resolves_close_pair_strengths():
+    """Stage-5 joint LM: clean dense sampling of a close pair — positions
+    AND strengths recovered within a few percent (the separable per-source
+    fits double-count the shared blob)."""
+    from tpu_plume.evaluation.flux import estimate_sources
+
+    cfg = EnvConfig(num_sources=2, turbulence_intensity=0.0)
+    # 1.6 sigma apart — the dup_r regime the accounting showed failing:
+    # separable per-source fits read each q as ~the pair's sum here
+    srcs = jnp.asarray([[220.0, 215.0], [220.0, 265.0]])
+    q_true = jnp.asarray([1.2, 0.8])
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.uniform(100, 380, (3000, 2)), jnp.float32)
+    concs = design_matrix(pts, srcs, jnp.zeros(2), cfg) @ q_true
+    mus, qs = estimate_sources(pts, concs, 2, cfg, return_strengths=True)
+    mus, qs = np.asarray(mus), np.asarray(qs)
+    order = np.argsort(mus[:, 1])
+    np.testing.assert_allclose(mus[order], np.asarray(srcs), atol=6.0)
+    np.testing.assert_allclose(qs[order], np.asarray(q_true), rtol=0.15)

@@ -615,7 +615,15 @@ def cmd_flux(args):
     if args.survey == "raster":
         from tpu_plume.evaluation.oracle import make_oracle
 
-        oracle = make_oracle("raster", env)
+        scale = 1.12
+        if args.refine_steps:
+            # widen the pass-1 bands so the shortened budget still covers
+            # the whole domain: descend (g/m steps) + n_bands * (g/m + 1)
+            g, m = env.grid_size, env.move_step
+            sweep = max(args.steps - args.refine_steps - g / m, 1.0)
+            n_bands = max(sweep / (g / m + 1.0), 1.0)
+            scale = max(1.12, g / n_bands / env.plume_sigma)
+        oracle = make_oracle("raster", env, raster_band_scale=scale)
     elif args.ckpt or args.pth:
         model, params = _load_params(args, cfg)
         policy = model.apply
@@ -624,6 +632,7 @@ def cmd_flux(args):
         num_episodes=args.episodes or 64, num_steps=args.steps,
         policy=policy, params=params,
         estimated_positions=args.estimated, oracle=oracle,
+        refine_steps=args.refine_steps,
     )
     print(json.dumps(out))
 
@@ -957,6 +966,10 @@ def build_parser():
                          "boustrophedon surveyor (coverage-designed — "
                          "every dispersion band visited) instead of the "
                          "random walk / trained policy")
+    sp.add_argument("--refine-steps", type=int, default=0,
+                    help="two-pass survey: reserve this many of --steps "
+                         "for pass-2 refinement orbits around the pass-1 "
+                         "position estimates (same total budget)")
     sp.set_defaults(fn=cmd_flux)
 
     sp = sub.add_parser("inspect-nc", help="dump NetCDF dataset schema")

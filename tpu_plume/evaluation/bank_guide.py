@@ -133,6 +133,7 @@ class BankGuideState:
     mode: jnp.ndarray        # i32 1 while overriding (diagnostics parity)
     sweep_down: jnp.ndarray  # bool: serpentine vertical direction (search)
     last_contact: jnp.ndarray  # i32 step of the most recent in-plume read
+    target: jnp.ndarray      # i32 seated dive row (sticky_target mode)
 
 
 def make_bank_guide(
@@ -148,6 +149,8 @@ def make_bank_guide(
     guard_top: int = 0,
     entry_dive: bool = False,
     dive_bias: bool = False,
+    sticky_target: bool = False,
+    reseat_margin: float = 1.3,
     terminate_radius: float = 50.0,
     success_radius: float = 40.0,
 ):
@@ -196,6 +199,7 @@ def make_bank_guide(
             mode=zi,
             sweep_down=jnp.zeros((), bool),
             last_contact=zi,
+            target=jnp.full((), -1, jnp.int32),
         )
 
     def step(gs: BankGuideState, pos, conc, policy_action, bank, t):
@@ -234,10 +238,27 @@ def make_bank_guide(
         # argmin either way, so a wrong commit still self-corrects.
         est_ok = gs.est_ok | (do_check & stable)
         match_prev = jnp.where(do_check, match, gs.match_prev)
-        # steer at the latest argmin (not the checkpointed one): between
-        # checks the argmin only moves if new evidence overturns it, and
-        # the freshest identification is the best dive target
-        src = bank.source[match]
+        if sticky_target:
+            # STICKY DIVE TARGET (round-5, from the K=64 accounting):
+            # following the LATEST argmin mid-dive lets momentary score
+            # flips re-route the dive — at K=64 the re-route transits
+            # shallowly past the true ball and terminates at dev ~49.5
+            # (right_match_fail: 86/1000 episodes at 275 mean steps).
+            # Seat the target when the gate opens; reseat ONLY when the
+            # new argmin beats the seated row's accumulated error by
+            # ``reseat_margin`` (real evidence, not churn).
+            seated = jnp.where(gs.target >= 0, gs.target, match)
+            better = score[seated] > reseat_margin * score[match]
+            target = jnp.where(est_ok & ~better, seated, match)
+            dive_row = target
+        else:
+            # steer at the latest argmin (not the checkpointed one):
+            # between checks the argmin only moves if new evidence
+            # overturns it, and the freshest identification is the best
+            # dive target
+            target = gs.target
+            dive_row = match
+        src = bank.source[dive_row]
 
         g_action = phase_action(
             pos[:2], src, cfg, terminate_radius, deep_target,
@@ -506,9 +527,11 @@ def make_bank_guide(
         )
         gs = gs.replace(
             score=score, n_contact=n_contact, count=count,
-            match=match, match_prev=match_prev, est_ok=est_ok,
+            match=(dive_row if sticky_target else match),
+            match_prev=match_prev, est_ok=est_ok,
             est=src, mode=est_ok.astype(jnp.int32),
             sweep_down=sweep_down, last_contact=last_contact,
+            target=target,
         )
         return gs, action, est_ok
 

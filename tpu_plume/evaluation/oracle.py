@@ -34,6 +34,7 @@ def make_oracle(
     terminate_radius: float | None = None,
     success_radius: float = 40.0,
     target_depth: float = 31.0,
+    raster_band_scale: float = 1.12,
 ):
     """Build ``fn(env_state) -> i32 action`` for one oracle policy.
 
@@ -83,16 +84,28 @@ def make_oracle(
 
     if kind == "raster":
         g = float(cfg.grid_size)
-        band_h = 1.12 * float(cfg.plume_sigma)
+        # band pitch in plume sigmas: 1.12 reads every dispersion band;
+        # the two-pass flux survey widens it so a SHORTENED pass-1 budget
+        # still covers the whole domain (detection only needs ~2 sigma)
+        band_h = raster_band_scale * float(cfg.plume_sigma)
+        # DESCEND-FIRST (round 5): the sweep is stateless (band from y,
+        # turns always go +y), so a flight spawning high covered only the
+        # strip above it and then parked in the top corner — the dominant
+        # unobserved-source pool in the flux study.  The first
+        # grid/move steps go straight down (the env clips at the wall),
+        # anchoring every episode's serpentine at y=0 with full upward
+        # range.  state.t makes this a pure function of the env state.
+        t_desc = int(g / m)
 
         def act_raster(state) -> jnp.ndarray:
             x, y = state.pos[0], state.pos[1]
             band = jnp.floor(y / band_h).astype(jnp.int32)
             going_right = band % 2 == 0
             turn = jnp.where(going_right, x >= g - 1.2 * m, x <= 1.2 * m)
-            return jnp.where(
+            sweep = jnp.where(
                 turn, 1, jnp.where(going_right, 3, 4)
             ).astype(jnp.int32)
+            return jnp.where(state.t < t_desc, 2, sweep).astype(jnp.int32)
 
         return act_raster
 
