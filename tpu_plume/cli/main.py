@@ -448,6 +448,8 @@ def cmd_eval(args):
             rim_expire=args.guide_rim_expire,
             guard_top=args.guide_guard_top,
             entry_dive=args.guide_entry_dive,
+            dive_bias=args.guide_dive_bias,
+            sticky_target=args.guide_sticky_target,
         )
     n_eval = args.episodes or cfg.eval.episodes
     m = evaluate_policy(
@@ -930,6 +932,18 @@ def build_parser():
                          "if the ball is true, free if wrong).  Scales to "
                          "banks whose terminate balls tile the domain "
                          "(K=64)")
+    sp.add_argument("--guide-dive-bias",
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="--guide bank: when an ungated move already "
+                         "enters the nearest candidate ball, substitute "
+                         "the deepest of the five landings if one lands "
+                         "<= deep_take (measured neutral at K=64 — "
+                         "RESULTS.md round-5 accounting; default off)")
+    sp.add_argument("--guide-sticky-target",
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="--guide bank: seat the dive row at gate-open and "
+                         "reseat only on a 1.3x score margin (measured "
+                         "neutral at K=64; default off)")
     sp.add_argument("--guide-rim-expire", type=int, default=400,
                     help="rim guard fail-open budget in steps (after this "
                          "many steps an unidentified episode hands control "
