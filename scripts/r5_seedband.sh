@@ -14,14 +14,20 @@ trap 'echo FAILED > $R/seedband.failed' ERR
 cd /root/repo
 REC="--preset wrf_les --reward delta --obs-memory --envs 512 --unroll 64 --minibatch 4096 --lr 1e-4 --no-csv --episodes 400000"
 
+# 60 s pause between clients: starting a NEW program's compile while the
+# previous client's device queue is still draining wedged the tunnel
+# permanently once this round (wrf_nb_s0, 35 min at zero CPU — the
+# CLAUDE.md brand-new-program-mid-queue trap, across processes).
 for s in 0 1 2; do
   if [ ! -d $R/wrf_ip02_s$s/checkpoint ]; then
     python -m tpu_plume.cli train $REC --inplume-bonus 0.2 --seed $s \
       --out $R/wrf_ip02_s$s > $R/sb_train_ip02_s$s.log 2>&1
+    sleep 60
   fi
   if [ ! -d $R/wrf_nb_s$s/checkpoint ]; then
     python -m tpu_plume.cli train $REC --seed $s \
       --out $R/wrf_nb_s$s > $R/sb_train_nb_s$s.log 2>&1
+    sleep 60
   fi
 done
 for s in 0 1 2; do

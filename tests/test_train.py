@@ -379,3 +379,61 @@ def test_f32_heads_split_step():
     assert float(stats_h["loss/total"]) != float(stats_f32["loss/total"])
     _, _, stats_noop = one_step(mk(f32_heads=True))
     assert float(stats_noop["loss/total"]) == float(stats_f32["loss/total"])
+
+def test_guided_finetune_step():
+    """Policy-in-the-loop fine-tuning: the eval-time guide rides the
+    training rollout — override mask emitted, overridden steps weighted
+    out of the policy surrogate (zero weights => zero policy loss), value
+    loss trains on every step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_plume.evaluation.guidance import make_guide
+    from tpu_plume.rl.curriculum import curriculum_init
+    from tpu_plume.rl.ppo import PPOBatch, ppo_loss
+    from tpu_plume.rollout.rollout import init_rollout
+    from tpu_plume.train.ppo_trainer import (
+        LoopCarry, build_train_step, make_train_state,
+    )
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, obs_memory=True,
+                                     reward_variant="delta"))
+    guide = make_guide(cfg.env, terminate_radius=50.0,
+                       success_radius=cfg.eval.success_distance)
+    key = jax.random.PRNGKey(0)
+    ts = make_train_state(cfg, key)
+    rollout = init_rollout(
+        key, cfg.env, cfg.rollout.num_envs,
+        radius=cfg.curriculum.initial_radius,
+        explore_bonus=cfg.env.explore_bonus_init,
+        guide=guide,
+    )
+    assert rollout.guide_state is not None
+    loop = LoopCarry(
+        train_state=ts, rollout=rollout,
+        curriculum=curriculum_init(cfg.curriculum, cfg.env.explore_bonus_init),
+        key=key,
+    )
+    out, stats, traj = build_train_step(cfg, guide=guide)(loop)
+    assert traj.override is not None
+    assert traj.override.dtype == jnp.bool_
+    assert np.isfinite(float(stats["loss/total"]))
+    # guide state persists in the next carry
+    assert out.rollout.guide_state is not None
+
+    # weighted loss semantics: all-zero weights kill the policy surrogate
+    b = 32
+    obs = jnp.zeros((b, cfg.env.obs_dim))
+    batch = PPOBatch(
+        obs=obs, actions=jnp.zeros(b, jnp.int32),
+        old_log_probs=jnp.full(b, -1.6), advantages=jnp.ones(b),
+        returns=jnp.ones(b), old_values=jnp.zeros(b),
+        weights=jnp.zeros(b),
+    )
+    _, m0 = ppo_loss(ts.params, ts.apply_fn, batch, cfg.ppo)
+    assert float(m0["loss/policy"]) == 0.0
+    assert float(m0["loss/value"]) > 0.0

@@ -193,9 +193,22 @@ def cmd_train(args):
         raise SystemExit("--resume restores its own params; drop --ckpt/--pth")
     if args.ckpt or args.pth:
         _, init_params = _load_params(args, cfg)
+    guide = None
+    if getattr(args, "train_guide", None) == "fit":
+        from tpu_plume.evaluation.guidance import make_guide
+
+        # policy-in-the-loop fine-tuning (round 5): the eval-time guide
+        # rides the TRAINING rollout at the protocol's radius-50
+        # terminator; combine with --min-radius 50 (pin the protocol
+        # radius) and --terminal-gate 40 so reward == protocol success
+        guide = make_guide(
+            cfg.env, terminate_radius=50.0,
+            success_radius=cfg.eval.success_distance,
+        )
     res = train_ppo(
         cfg,
         args.out,
+        guide=guide,
         init_params=init_params,
         resume_from=args.resume,
         bank=_make_bank(args, cfg),
@@ -308,6 +321,7 @@ def cmd_train_lstm(args):
         res = train_source_lstm(
             args.nc, args.out, flights_path=args.flights,
             window=args.window, epochs=args.epochs, verbose=True,
+            features=args.features, hidden=args.hidden_size,
         )
         print(json.dumps({
             "best_loss": res.extra["best_loss"],
@@ -381,6 +395,8 @@ def cmd_eval(args):
 
         bundle = restore_checkpoint(args.guide_ckpt)
         gparams = jax.tree.map(jnp.asarray, bundle["params"])
+        # arch/features ride in the meta so older 3-feature/32-hidden
+        # checkpoints keep loading unchanged
         # Gate knobs: derived from the localizer's own measured val error
         # (localizer_meta.npz next to the checkpoint) unless overridden;
         # hand-tuned historical defaults only when the meta is absent.
@@ -401,6 +417,8 @@ def cmd_eval(args):
             derived = {"stable_tol": 6.0, "check_every": 8, "min_window": 16}
         guide = make_learned_guide(
             cfg.env, gparams,
+            features=(str(meta.get("features", "xyc")) if meta else "xyc"),
+            hidden=(int(meta.get("hidden", 32)) if meta else 32),
             window=window,
             terminate_radius=(50.0 if args.goal_radius is None
                               else args.goal_radius),
@@ -731,6 +749,14 @@ def build_parser():
         sp.add_argument("--min-radius", type=float,
                         help="curriculum radius floor (set 50 to train at the "
                              "fixed reference-protocol radius)")
+        sp.add_argument("--train-guide", choices=["fit"], default=None,
+                        help="run the eval-time terminal guide INSIDE the "
+                             "training rollout (policy-in-the-loop "
+                             "fine-tuning): overridden steps drop out of "
+                             "the policy surrogate, rewards/values see the "
+                             "guided dynamics.  Pair with --min-radius 50 "
+                             "--terminal-gate 40 so reward = protocol "
+                             "success")
         sp.add_argument("--bf16", action="store_true")
         sp.add_argument("--bf16-update", action="store_true",
                         help="bfloat16 compute in the PPO update only "
@@ -833,6 +859,15 @@ def build_parser():
                          "(--variant params only)")
     sp.add_argument("--out", default="runs/lstm")
     sp.add_argument("--epochs", type=int, default=150)
+    sp.add_argument("--features", choices=["xyc", "xycd"], default="xyc",
+                    help="--variant params window features: xyc = "
+                         "normalized (x, y, conc); xycd appends per-step "
+                         "deltas (dx, dy, dconc) — explicit motion/"
+                         "gradient inputs (round-5 estimator study)")
+    sp.add_argument("--hidden-size", type=int, default=32,
+                    help="--variant params LSTM cell/head width "
+                         "(persisted in localizer_meta.npz; eval derives "
+                         "the model from it)")
     sp.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (see train --cpu)")
     sp.set_defaults(fn=cmd_train_lstm)

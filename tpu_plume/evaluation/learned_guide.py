@@ -113,6 +113,8 @@ def make_learned_guide(
     stable_tol: float = 6.0,
     terminate_radius: float = 50.0,
     success_radius: float = 40.0,
+    features: str = "xyc",
+    hidden: int = 32,
 ):
     """(init_state, step_fn) for ``evaluate_policy``'s guide hook, driving
     the dive controller from a trained localizer checkpoint.
@@ -120,16 +122,18 @@ def make_learned_guide(
     ``params``: the ``GaussianParamPredictor`` variables (from
     ``train-lstm --variant params``).  Geometry derives from the protocol
     exactly as the trilateration guide's (deep landing under the success
-    line, setup ring one move out)."""
+    line, setup ring one move out).  ``features``/``hidden`` must match
+    the checkpoint (both persisted in its ``localizer_meta.npz``)."""
     from tpu_plume.models import GaussianParamPredictor
 
-    model = model or GaussianParamPredictor()
+    model = model or GaussianParamPredictor(hidden_size=hidden)
+    dim = 6 if features == "xycd" else 3
     deep_target = min(success_radius - 10.0, 0.8 * terminate_radius)
     setup_distance = deep_target + cfg.grid_size * cfg.move_frac - 1.0
 
     def init() -> LearnedGuideState:
         return LearnedGuideState(
-            window=jnp.zeros((window, 3), jnp.float32),
+            window=jnp.zeros((window, dim), jnp.float32),
             count=jnp.zeros((), jnp.int32),
             est=jnp.zeros((2,), jnp.float32),
             est_prev=jnp.full((2,), -1e6, jnp.float32),
@@ -143,6 +147,15 @@ def make_learned_guide(
             pos[1] / cfg.grid_size,
             conc / cfg.conc_peak,
         ]).astype(jnp.float32)
+        if dim == 6:
+            # per-step deltas vs the previously INGESTED sample (row
+            # layout matches _flight_tail_dataset's xycd windows)
+            prev_idx = jnp.clip(jnp.minimum(gs.count, window) - 1,
+                                0, window - 1)
+            prev = gs.window[prev_idx, :3]
+            delta = jnp.where(gs.count > 0, feat - prev,
+                              jnp.zeros_like(feat))
+            feat = jnp.concatenate([feat, delta])
         # chronological insert: front-fill until full, then shift left
         filling = gs.count < window
         idx = jnp.minimum(gs.count, window - 1)

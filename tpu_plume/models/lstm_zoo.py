@@ -151,7 +151,8 @@ class GaussianParamPredictor(nn.Module):
         if x.ndim == 2:
             x = x[:, None, :]
         h = _lstm_last_hidden(x, self.hidden_size, lengths)
-        y = nn.Dense(32, kernel_init=_xavier)(h)
+        # head width follows the cell (32 reproduces the reference layout)
+        y = nn.Dense(self.hidden_size, kernel_init=_xavier)(h)
         y = nn.relu(y)
         return nn.Dense(4, kernel_init=_xavier)(y)
 

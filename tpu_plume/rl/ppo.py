@@ -40,6 +40,12 @@ class PPOBatch:
     # Optional privileged-teacher labels for distilled PPO (i32[B]; None
     # disables the auxiliary imitation term — pytree-stable empty subtree).
     oracle_actions: Any = None
+    # Optional per-sample weights for the policy surrogate + entropy
+    # (f32[B]; None = uniform).  Guided fine-tuning sets 0 on steps the
+    # terminal guide overrode: the executed action was not the policy's,
+    # so the importance ratio is meaningless there — the value loss still
+    # trains on every step (the critic must price guided dynamics).
+    weights: Any = None
 
 
 def normalize_advantages(advantages: jnp.ndarray, cfg: PPOConfig) -> jnp.ndarray:
@@ -89,7 +95,12 @@ def ppo_loss(params, apply_fn, batch: PPOBatch, cfg: PPOConfig):
     ratio = jnp.exp(new_log_probs - batch.old_log_probs)
     surr1 = ratio * batch.advantages
     surr2 = jnp.clip(ratio, 1.0 - cfg.clip_epsilon, 1.0 + cfg.clip_epsilon) * batch.advantages
-    policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+    surr = jnp.minimum(surr1, surr2)
+    if batch.weights is not None:
+        wsum = jnp.maximum(batch.weights.sum(), 1.0)
+        policy_loss = -(surr * batch.weights).sum() / wsum
+    else:
+        policy_loss = -jnp.mean(surr)
 
     # Clipped value loss vs stored values (train_ppo2.0.py:73-78).
     value_clipped = batch.old_values + jnp.clip(
@@ -104,7 +115,12 @@ def ppo_loss(params, apply_fn, batch: PPOBatch, cfg: PPOConfig):
 
     # Entropy bonus (train_ppo2.0.py:80-81).
     probs = jnp.exp(log_probs_all)
-    entropy = -jnp.sum(probs * log_probs_all, axis=-1).mean()
+    ent = -jnp.sum(probs * log_probs_all, axis=-1)
+    if batch.weights is not None:
+        entropy = (ent * batch.weights).sum() / jnp.maximum(
+            batch.weights.sum(), 1.0)
+    else:
+        entropy = ent.mean()
 
     total = policy_loss + value_loss - cfg.entropy_beta * entropy
     metrics = {
@@ -275,7 +291,8 @@ def ppo_update(
         # storing trunk activations across it (see PPOConfig.remat)
         loss_fn = jax.checkpoint(ppo_loss, static_argnums=(1, 3))
     grad_fn = jax.grad(loss_fn, has_aux=True)
-    if cfg.fused_update and batch.oracle_actions is None:
+    if (cfg.fused_update and batch.oracle_actions is None
+            and batch.weights is None):
         # VMEM-resident fused fwd+bwd (ops/pallas_ppo.py); None when the
         # param tree is not the standard feedforward ActorCritic.
         from tpu_plume.ops.pallas_ppo import make_grad_fn

@@ -87,6 +87,10 @@ class RolloutStep:
     # Privileged-teacher label for the pre-step state (distilled PPO);
     # None unless the rollout was built with an oracle.
     oracle_action: Any = None
+    # bool[N]: the executed action came from the terminal guide, not the
+    # policy (guided fine-tuning masks these steps out of the policy
+    # surrogate); None unless the rollout was built with a guide.
+    override: Any = None
 
 
 @struct.dataclass
@@ -98,6 +102,9 @@ class RolloutCarry:
     # Recurrent-policy (c, h) carry, zeroed at episode boundaries; None for
     # the feedforward arch (pytree-stable: None is an empty subtree).
     hidden: Any = None
+    # Terminal-guide per-env state (guided fine-tuning), re-initialized at
+    # episode boundaries; None when no guide rides the rollout.
+    guide_state: Any = None
 
 
 def init_rollout(
@@ -108,16 +115,24 @@ def init_rollout(
     explore_bonus: jnp.ndarray | float | None = None,
     bank=None,
     hidden=None,
+    guide=None,
 ) -> RolloutCarry:
     key, sub = jax.random.split(key)
     reset_keys = jax.random.split(sub, num_envs)
     env_state, obs = jax.vmap(lambda k: reset(k, cfg, radius, explore_bonus, bank))(reset_keys)
+    guide_state = None
+    if guide is not None:
+        guide_state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_envs,) + jnp.shape(x)),
+            guide[0],
+        )
     return RolloutCarry(
         env_state=env_state,
         obs=obs,
         accum=EpisodeAccum.zeros(num_envs),
         key=key,
         hidden=hidden,
+        guide_state=guide_state,
     )
 
 
@@ -131,6 +146,7 @@ def rollout_chunk(
     bank=None,
     rnn=None,
     oracle=None,
+    guide=None,
 ):
     """Run ``length`` fused policy+env steps for all envs.
 
@@ -150,8 +166,25 @@ def rollout_chunk(
     ``evaluation.oracle.make_oracle``) labels every pre-step state into
     ``traj.oracle_action`` for distilled PPO — a handful of fused VPU ops
     per step, nothing when None.
+
+    ``guide`` (``(init_state, step_fn)`` — the eval harness's terminal-
+    guidance contract) runs IN the training rollout (round-5 policy-in-
+    the-loop fine-tuning): the policy's sampled action is the guide's
+    fallback, the env executes the guide's output, and ``traj.override``
+    marks steps where the executed action differed from the policy's —
+    the PPO update masks those from the policy surrogate (the policy was
+    not in control, so its action carries no credit), while rewards,
+    values, and GAE see the guided dynamics the eval protocol runs.
+    ``carry.guide_state`` must be the vmapped guide state (see
+    ``init_rollout``); it re-initializes at episode boundaries.
     """
     num_envs = carry.obs.shape[0]
+    if guide is not None:
+        guide_init, guide_fn = guide
+        guide_init_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_envs,) + jnp.shape(x)),
+            guide_init,
+        )
 
     # Pregenerate the chunk's randomness in three vectorized draws (one
     # threefry pass each) instead of splitting keys inside every scan step:
@@ -190,8 +223,16 @@ def rollout_chunk(
             axis=-1,
         )
 
+        if guide is not None:
+            new_gs, exec_action, _ = jax.vmap(guide_fn)(
+                c.guide_state, c.env_state.pos, c.env_state.conc, action
+            )
+            override = exec_action != action
+        else:
+            new_gs, exec_action, override = c.guide_state, action, None
+
         env_state, trans = jax.vmap(lambda s, a, n: step_noise(s, a, n, cfg, bank))(
-            c.env_state, action, noise_t
+            c.env_state, exec_action, noise_t
         )
         info = trans.info
 
@@ -239,6 +280,7 @@ def rollout_chunk(
             oracle_action=(
                 jax.vmap(oracle)(c.env_state) if oracle is not None else None
             ),
+            override=override,
         )
 
         # Clear accumulators for envs that finished, then auto-reset them.
@@ -254,8 +296,17 @@ def rollout_chunk(
             hidden = jax.tree.map(
                 lambda h: jnp.where(trans.done[:, None], 0.0, h), hidden
             )
+        if guide is not None:
+            # fresh guide state for envs that just reset (fused, branchless)
+            new_gs = jax.tree.map(
+                lambda g0, g: jnp.where(
+                    trans.done.reshape((-1,) + (1,) * (g.ndim - 1)), g0, g
+                ),
+                guide_init_b, new_gs,
+            )
 
-        return RolloutCarry(env_state, next_obs, acc, c.key, hidden), out
+        return RolloutCarry(env_state, next_obs, acc, c.key, hidden,
+                            new_gs), out
 
     carry, traj = jax.lax.scan(
         body,

@@ -359,13 +359,20 @@ def _flight_tail_dataset(
     conc_peak: float,
     rng: np.random.Generator,
     augment: int = 2,
+    features: str = "xyc",
 ):
     """Tail windows from an ``eval --save-flights`` npz ([K, T, 3]
     trajectories + [K, 2] sources) — the distribution the localizer is
     used on at eval time.  Measured: training on the policy's OWN flights
-    cuts the val error ~4x vs generic NC capture (84 -> 23 px)."""
+    cuts the val error ~4x vs generic NC capture (84 -> 23 px).
+
+    ``features``: "xyc" = normalized (x, y, conc) — the reference layout;
+    "xycd" appends the per-step deltas (dx, dy, dconc), explicit motion/
+    gradient features a 32-unit LSTM otherwise has to synthesize
+    (round-5 estimator-iteration study)."""
     data = np.load(flights_path)
     trajs, srcs = data["trajectories"], data["sources"]
+    dim = 6 if features == "xycd" else 3
     feats, lens, targets, groups = [], [], [], []
     for i in range(trajs.shape[0]):
         valid = np.isfinite(trajs[i, :, 0])
@@ -373,24 +380,31 @@ def _flight_tail_dataset(
         if len(rows) < 8:
             continue
         tgt = (srcs[i] / grid_size).astype(np.float32)
+        norm = rows / np.array([grid_size, grid_size, conc_peak])
+        # per-step deltas over the WHOLE flight, then sliced with the
+        # tail — matches the eval-time guide, whose shifted window rows
+        # keep the delta computed at insert time (a tail's first row has
+        # a real predecessor mid-flight)
+        dn = np.zeros_like(norm)
+        dn[1:] = norm[1:] - norm[:-1]
         cand = [min(len(rows), window)]
         cand += [
             int(rng.integers(8, min(len(rows), window) + 1))
             for _ in range(augment)
         ]
         for length in cand:
-            tail = rows[len(rows) - length:]
-            w = np.zeros((window, 3), np.float32)
-            w[:length, 0] = tail[:, 0] / grid_size
-            w[:length, 1] = tail[:, 1] / grid_size
-            w[:length, 2] = tail[:, 2] / conc_peak
+            start = len(rows) - length
+            w = np.zeros((window, dim), np.float32)
+            w[:length, :3] = norm[start:]
+            if dim == 6:
+                w[:length, 3:] = dn[start:]
             feats.append(w)
             lens.append(length)
             targets.append(tgt)
             groups.append(i)
     if not feats:
         return (
-            np.zeros((0, window, 3), np.float32),
+            np.zeros((0, window, dim), np.float32),
             np.zeros((0,), np.int32),
             np.zeros((0, 2), np.float32),
             np.zeros((0,), np.int32),
@@ -414,6 +428,8 @@ def train_source_lstm(
     conc_peak: float = 100.0,
     val_frac: float = 0.1,
     verbose: bool = False,
+    features: str = "xyc",
+    hidden: int = 32,
 ) -> LSTMTrainResult:
     """Train the ``GaussianParamPredictor`` zoo head (PPOV2.1/model.py:
     308-322 — dead code in the reference) as a SOURCE LOCALIZER: windows
@@ -433,9 +449,12 @@ def train_source_lstm(
     rng0 = np.random.default_rng(seed)
     if flights_path is not None:
         feats, lens, targets, groups = _flight_tail_dataset(
-            flights_path, window, grid_size, conc_peak, rng0
+            flights_path, window, grid_size, conc_peak, rng0,
+            features=features,
         )
     else:
+        if features != "xyc":
+            raise ValueError("--features xycd needs --flights data")
         feats, lens, targets, groups = source_window_dataset(
             nc_path, window_size=window, per_episode=per_episode,
             grid_size=grid_size, conc_peak=conc_peak, rng=rng0,
@@ -458,9 +477,10 @@ def train_source_lstm(
         n_val = max(1, int(len(feats) * val_frac))
         val_idx, train_idx = perm[:n_val], perm[n_val:]
 
-    model = GaussianParamPredictor()
+    model = GaussianParamPredictor(hidden_size=hidden)
     params = model.init(
-        jax.random.PRNGKey(seed), jnp.zeros((1, window, 3)), jnp.ones((1,), jnp.int32)
+        jax.random.PRNGKey(seed), jnp.zeros((1, window, feats.shape[-1])),
+        jnp.ones((1,), jnp.int32),
     )
     optimizer = _make_optimizer(weight_decay=1e-4, clip=1.0)
     opt_state = optimizer.init(params)
@@ -515,6 +535,8 @@ def train_source_lstm(
         window=window,
         grid_size=grid_size,
         conc_peak=conc_peak,
+        features=features,
+        hidden=hidden,
     )
     return LSTMTrainResult(
         params=best_params, losses=losses, out_dir=out_dir,

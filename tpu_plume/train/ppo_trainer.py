@@ -124,7 +124,8 @@ class _BankStep:
 
 
 def build_train_step(
-    cfg: TrainConfig, donate: bool = False, bank=None, with_grads: bool = False
+    cfg: TrainConfig, donate: bool = False, bank=None, with_grads: bool = False,
+    guide=None,
 ) -> Callable:
     """One fused training iteration; jit once per config.
 
@@ -170,7 +171,7 @@ def build_train_step(
 
         carry, traj, bootstrap = rollout_chunk(
             loop.train_state.params, loop.train_state.apply_fn, carry, env_cfg, T,
-            bank=bank, rnn=rnn, oracle=oracle,
+            bank=bank, rnn=rnn, oracle=oracle, guide=guide,
         )
 
         advantages, returns = compute_gae(
@@ -229,6 +230,10 @@ def build_train_step(
                 old_values=flat(traj.value),
                 oracle_actions=(
                     flat(traj.oracle_action) if oracle is not None else None
+                ),
+                weights=(
+                    1.0 - flat(traj.override).astype(jnp.float32)
+                    if guide is not None else None
                 ),
             )
             ts_in = (loop.train_state.replace(apply_fn=update_apply)
@@ -366,6 +371,7 @@ def train_ppo(
     bank=None,
     sync_every: int | None = None,
     resume_from: str | None = None,
+    guide=None,
 ) -> TrainResult:
     """Train until ``cfg.total_episodes`` episodes complete (or
     ``max_iterations`` train steps).  ``init_params`` warm-starts the policy
@@ -404,12 +410,16 @@ def train_ppo(
         if cfg.ppo.arch == "lstm"
         else None
     )
+    if guide is not None and cfg.ppo.arch == "lstm":
+        raise ValueError(
+            "guided fine-tuning (--guide) supports the feedforward arch only")
     rollout = init_rollout(
         k_roll, cfg.env, cfg.rollout.num_envs,
         radius=cfg.curriculum.initial_radius,
         explore_bonus=cfg.env.explore_bonus_init,
         bank=bank,
         hidden=hidden,
+        guide=guide,
     )
     loop = LoopCarry(train_state=train_state, rollout=rollout, curriculum=curriculum, key=k_loop)
 
@@ -449,7 +459,9 @@ def train_ppo(
 
     # Gradient histograms ride the packed stats transfer (f32 pack is
     # lossless for f32 grads) — only when TensorBoard is consuming them.
-    train_step = build_train_step(cfg, bank=bank, with_grads=use_tensorboard)
+    train_step = build_train_step(
+        cfg, bank=bank, with_grads=use_tensorboard, guide=guide
+    )
 
     def _full_bundle():
         """Everything a bit-exact continuation needs (SURVEY.md §5)."""
