@@ -369,9 +369,13 @@ def _flight_tail_dataset(
     ``features``: "xyc" = normalized (x, y, conc) — the reference layout;
     "xycd" appends the per-step deltas (dx, dy, dconc), explicit motion/
     gradient features a 32-unit LSTM otherwise has to synthesize
-    (round-5 estimator-iteration study)."""
-    data = np.load(flights_path)
-    trajs, srcs = data["trajectories"], data["sources"]
+    (round-5 estimator-iteration study).
+
+    ``flights_path`` may be several ':'-separated npz files (e.g. two
+    eval seeds' flights) — the data-scaling axis of the same study."""
+    parts = [np.load(p) for p in flights_path.split(":")]
+    trajs = np.concatenate([p["trajectories"] for p in parts], axis=0)
+    srcs = np.concatenate([p["sources"] for p in parts], axis=0)
     dim = 6 if features == "xycd" else 3
     feats, lens, targets, groups = [], [], [], []
     for i in range(trajs.shape[0]):
