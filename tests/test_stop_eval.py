@@ -164,14 +164,16 @@ def test_generate_expert_data(tmp_path):
 
 # ---- scripted oracle teachers (evaluation/oracle.py) ----
 
-def _oracle_state(pos, src, radius=50.0):
-    """Minimal duck-typed EnvState for the pure-geometry oracle tests."""
+def _oracle_state(pos, src, radius=50.0, t=30):
+    """Minimal duck-typed EnvState for the pure-geometry oracle tests.
+    ``t`` defaults past the raster's descend-first phase (grid/move)."""
     from types import SimpleNamespace
 
     return SimpleNamespace(
         pos=jnp.asarray(pos, jnp.float32),
         field=SimpleNamespace(source=jnp.asarray(src, jnp.float32)),
         radius=jnp.float32(radius),
+        t=jnp.int32(t),
     )
 
 
@@ -214,6 +216,10 @@ def test_oracle_raster_sweeps_without_source():
     assert int(raster(mid_odd)) == 4        # sweep left
     edge = _oracle_state([495.0, 0.5 * band], [999.0, 999.0])
     assert int(raster(edge)) == 1           # advance a row
+    # descend-first (round 5): the first grid/move steps go straight down,
+    # anchoring the serpentine at y=0 from any spawn height
+    high = _oracle_state([250.0, 400.0], [999.0, 999.0], t=0)
+    assert int(raster(high)) == 2
 
 
 def test_oracle_phase_lands_deep_through_real_env():
