@@ -74,6 +74,25 @@ def stage_seedband():
     open(f"{R}/seedband.done", "w").write("DONE\n")
 
 
+def stage_grid16():
+    """K=16 bank-guide training-seed band (VERDICT #2, second half):
+    the 75.8% headline is one training seed (grid16b_s0)."""
+    rec = ("--preset wrf_les --plume-model gridded --synth-bank static "
+           "--bank-fields 16 --reward delta --obs-memory --envs 512 "
+           "--unroll 64 --minibatch 4096 --lr 1e-4")
+    for s in (0, 1, 2):
+        out = f"{R}/grid16b_s{s}"
+        if not done(f"{out}/checkpoint"):
+            run_cli(f"train {rec} --inplume-bonus 0.2 --seed {s} "
+                    f"--episodes 400000 --no-csv --out {out}",
+                    f"{R}/g16sb_train_s{s}.log")
+        lf = f"{R}/g16sb_eval_s{s}.log"
+        if not (done(lf) and "s@40" in open(lf).read()):
+            run_cli(f"eval {rec} --ckpt {out}/checkpoint --episodes 1000 "
+                    "--seed 0 --guide bank", lf)
+    open(f"{R}/grid16.done", "w").write("DONE\n")
+
+
 def stage_les():
     if not done(f"{R}/les_bank.nc"):
         import dataclasses
@@ -161,13 +180,13 @@ def stage_phasec():
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    stages = "seedband,les,phasec"
+    stages = "seedband,grid16,les,phasec"
     if "--stages" in sys.argv:
         stages = sys.argv[sys.argv.index("--stages") + 1]
     for s in stages.split(","):
         log(f"=== stage {s}")
-        {"seedband": stage_seedband, "les": stage_les,
-         "phasec": stage_phasec}[s]()
+        {"seedband": stage_seedband, "grid16": stage_grid16,
+         "les": stage_les, "phasec": stage_phasec}[s]()
         log(f"=== stage {s} complete")
     log("ALL DONE")
 
