@@ -67,7 +67,7 @@ def main():
 
     out = {}
     for family in ("isotropic", "les"):
-        errs = []
+        errs, perrs = [], []
         for k in range(bank.conc.shape[0]):
             for r in range(reps):
                 pts = raster_track(iso_cfg, float(rng.uniform(0, 499)), n_steps)
@@ -96,7 +96,12 @@ def main():
                     jnp.asarray(pts), jnp.asarray(concs, jnp.float32), 1,
                     iso_cfg))[0]
                 errs.append(float(np.linalg.norm(est - src)))
-        errs = np.asarray(errs)
+                # model-free control: the single strongest sample's
+                # position — separates "the estimator's physics model is
+                # wrong" from "the samples hold no source information"
+                peak = pts[int(np.argmax(concs))]
+                perrs.append(float(np.linalg.norm(peak - src)))
+        errs, perrs = np.asarray(errs), np.asarray(perrs)
         out[family] = {
             "n": len(errs),
             "median_pos_err": round(float(np.median(errs)), 1),
@@ -104,6 +109,8 @@ def main():
             "p90_pos_err": round(float(np.quantile(errs, 0.9)), 1),
             "within_20px": round(float((errs <= 20).mean()), 3),
             "within_40px": round(float((errs <= 40).mean()), 3),
+            "peak_sample_median_err": round(float(np.median(perrs)), 1),
+            "peak_sample_within_40px": round(float((perrs <= 40).mean()), 3),
         }
     print(json.dumps(out), flush=True)
 

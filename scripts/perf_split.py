@@ -44,11 +44,13 @@ K_MODEL, K_ROLL, K_LOOP = jax.random.split(KEY, 3)
 K_WINDOW = 24
 
 
-def _cfg(epochs=5, minibatches=8, bf16=False):
+def _cfg(epochs=5, minibatches=8, bf16=False, bf16_update=False,
+         f32_heads=False):
     return TrainConfig(
         name="bench", env=ENV,
         ppo=PPOConfig(minibatch_size=BATCH // minibatches, epochs=epochs,
-                      bf16_compute=bf16),
+                      bf16_compute=bf16, bf16_update=bf16_update,
+                      f32_heads=f32_heads),
         curriculum=CurriculumConfig(),
         rollout=RolloutConfig(num_envs=N, unroll_length=T),
     )
@@ -113,6 +115,15 @@ def bf16():
     _time_full(_cfg(bf16=True), "bf16")
 
 
+def heads():
+    """Round-5 terminal-precision split: does f32_heads cost throughput
+    on top of bf16_update at flagship scale?"""
+    _time_full(_cfg(bf16=False), "f32")
+    _time_full(_cfg(bf16_update=True), "bf16-update")
+    _time_full(_cfg(bf16_update=True, f32_heads=True), "bf16-update+f32-heads")
+
+
 if __name__ == "__main__":
     for mode in (sys.argv[1:] or ["split"]):
-        {"split": split, "bisect": bisect, "bf16": bf16}[mode]()
+        {"split": split, "bisect": bisect, "bf16": bf16,
+         "heads": heads}[mode]()
