@@ -310,3 +310,30 @@ def test_distilled_ppo_mechanism():
     gated = run("phase", iters=1, gate=0.05)
     g0 = float(gated[0]["loss/distill"])
     assert np.isfinite(g0) and abs(g0 - d[0]) > 1e-4
+
+
+def test_ppo_update_weights_mask_no_credit():
+    """The guided fine-tune's override mask (PPOBatch.weights): zero-weight
+    samples must contribute NO policy-gradient credit — scrambling their
+    action identities leaves the update bit-identical — while the value
+    loss still sees them."""
+    cfg, ts, batch = _make_state_and_batch(B=512)
+    key = jax.random.PRNGKey(7)
+    w = (jax.random.uniform(key, batch.actions.shape) < 0.5).astype(jnp.float32)
+    masked = batch.replace(weights=w)
+    scrambled = masked.replace(
+        actions=jnp.where(w > 0, batch.actions,
+                          (batch.actions + 2) % 5),
+        old_log_probs=jnp.where(w > 0, batch.old_log_probs,
+                                batch.old_log_probs - 3.21),
+    )
+    ts1, m1 = ppo_update(ts, masked, jax.random.PRNGKey(3), cfg)
+    ts2, m2 = ppo_update(ts, scrambled, jax.random.PRNGKey(3), cfg)
+    for a, b in zip(jax.tree.leaves(ts1.params), jax.tree.leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # weights change the result vs unweighted (the mask is live)
+    ts3, _ = ppo_update(ts, batch, jax.random.PRNGKey(3), cfg)
+    diff = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+               for a, b in zip(jax.tree.leaves(ts1.params),
+                               jax.tree.leaves(ts3.params)))
+    assert diff > 0.0

@@ -81,3 +81,47 @@ def test_greedy_rollout_deterministic_actions():
     logits, _ = model.apply(params, traj.obs.reshape(-1, 6))
     expect = np.asarray(jnp.argmax(logits, -1)).reshape(t, n)
     np.testing.assert_array_equal(np.asarray(traj.action), expect)
+
+
+def test_guide_in_rollout_override_semantics():
+    """Round-5 policy-in-the-loop fine-tune contract (rollout.py guide=):
+    an identity guide is a bit-exact no-op with override all-False; an
+    always-shifting guide marks every step overridden, stores the
+    POLICY's action (credit assignment), and drives different dynamics."""
+    n, t = 8, 20
+    model, params, _ = _setup(n)
+
+    def identity_fn(gs, pos, conc, action):
+        return gs + 1.0, action, 0.0
+
+    def shift_fn(gs, pos, conc, action):
+        return gs + 1.0, (action + 1) % CFG.num_actions, 0.0
+
+    _, traj0, _ = rollout_chunk(
+        params, model.apply,
+        init_rollout(jax.random.PRNGKey(1), CFG, n), CFG, t)
+
+    ident = (jnp.zeros(()), identity_fn)
+    _, traj_id, _ = rollout_chunk(
+        params, model.apply,
+        init_rollout(jax.random.PRNGKey(1), CFG, n, guide=ident),
+        CFG, t, guide=ident)
+    assert not np.asarray(traj_id.override).any()
+    np.testing.assert_array_equal(np.asarray(traj_id.action),
+                                  np.asarray(traj0.action))
+    np.testing.assert_allclose(np.asarray(traj_id.pos),
+                               np.asarray(traj0.pos))
+
+    shift = (jnp.zeros(()), shift_fn)
+    _, traj_sh, _ = rollout_chunk(
+        params, model.apply,
+        init_rollout(jax.random.PRNGKey(1), CFG, n, guide=shift),
+        CFG, t, guide=shift)
+    ov = np.asarray(traj_sh.override)
+    assert ov.all()
+    # first step: same obs/key as the unguided run, so the stored
+    # (policy) action matches — the EXECUTED action differed, which the
+    # next positions prove
+    np.testing.assert_array_equal(np.asarray(traj_sh.action[0]),
+                                  np.asarray(traj0.action[0]))
+    assert (np.asarray(traj_sh.pos) != np.asarray(traj0.pos)).any()
