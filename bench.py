@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -356,6 +357,8 @@ def main():
             "steps_per_sec_synced_each_iter": round(tpu["steps_per_sec_synced"], 1),
             "ppo_updates_per_sec": round(tpu["updates_per_sec"], 2),
             "compile_s": round(tpu["compile_s"], 1),
+            "compile_cache": tpu["compile_cache"],
+            "compile_cache_entries": tpu["compile_cache_entries"],
             "platform": tpu["platform"],
             "f32_steps_per_sec": round(tpu_f32["steps_per_sec"], 1),
         },
