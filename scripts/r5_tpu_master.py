@@ -140,6 +140,26 @@ def stage_les():
     open(f"{R}/les.done", "w").write("DONE\n")
 
 
+def stage_les_band():
+    """LES robustness training-seed band: the 53.7% bank-guide row and
+    28.4% plain row are single-seed; repeat at seeds 1/2."""
+    rec = (f"--preset wrf_les --plume-model gridded --bank {R}/les_bank.nc "
+           "--reward delta --obs-memory --envs 512 --unroll 64 "
+           "--minibatch 4096 --lr 1e-4")
+    for s in (1, 2):
+        out = f"{R}/les16_s{s}"
+        if not done(f"{out}/checkpoint"):
+            run_cli(f"train {rec} --inplume-bonus 0.2 --seed {s} "
+                    f"--episodes 400000 --no-csv --out {out}",
+                    f"{R}/lesb_train_s{s}.log")
+        for guide, lf in (("", f"{R}/lesb_plain_s{s}.log"),
+                          ("--guide bank", f"{R}/lesb_bank_s{s}.log")):
+            if not (done(lf) and "success_rate" in open(lf).read()):
+                run_cli(f"eval {rec} --ckpt {out}/checkpoint --episodes 1000 "
+                        f"--seed 0 {guide}", lf)
+    open(f"{R}/les_band.done", "w").write("DONE\n")
+
+
 def stage_phasec():
     wrec = ("--preset wrf_les --reward delta --obs-memory --envs 512 "
             "--unroll 64 --minibatch 4096 --lr 1e-4 --no-csv "
@@ -186,7 +206,8 @@ def main():
     for s in stages.split(","):
         log(f"=== stage {s}")
         {"seedband": stage_seedband, "grid16": stage_grid16,
-         "les": stage_les, "phasec": stage_phasec}[s]()
+         "les": stage_les, "les_band": stage_les_band,
+         "phasec": stage_phasec}[s]()
         log(f"=== stage {s} complete")
     log("ALL DONE")
 
