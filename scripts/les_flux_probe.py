@@ -66,8 +66,9 @@ def main():
     n_steps = 500
 
     out = {}
+    K = bank.conc.shape[0]
     for family in ("isotropic", "les"):
-        errs, perrs = [], []
+        errs, perrs, berrs, bmatch = [], [], [], []
         for k in range(bank.conc.shape[0]):
             for r in range(reps):
                 pts = raster_track(iso_cfg, float(rng.uniform(0, 499)), n_steps)
@@ -101,6 +102,25 @@ def main():
                 # wrong" from "the samples hold no source information"
                 peak = pts[int(np.argmax(concs))]
                 perrs.append(float(np.linalg.norm(peak - src)))
+                if family == "les":
+                    # the recommended off-family route: identify the bank
+                    # ROW from the survey samples (the bank guide's scorer
+                    # semantics — informative-step squared prediction
+                    # error incl. negative evidence), read off its source
+                    preds = np.asarray(gridded.sample_bank(
+                        bank,
+                        jnp.repeat(jnp.arange(K, dtype=jnp.int32), n_steps),
+                        jnp.tile(jnp.asarray(ij[:, 0]), K),
+                        jnp.tile(jnp.asarray(ij[:, 1]), K),
+                        t=jnp.tile(jnp.asarray(t), K),
+                    )).reshape(K, n_steps)
+                    floor = 3.0 * iso_cfg.turbulence_intensity
+                    informative = (concs[None] >= floor) | (preds >= floor)
+                    score = (informative * (concs[None] - preds) ** 2).sum(1)
+                    kb = int(np.argmin(score))
+                    bmatch.append(kb == k)
+                    berrs.append(float(np.linalg.norm(
+                        np.asarray(bank.source[kb]) - src)))
         errs, perrs = np.asarray(errs), np.asarray(perrs)
         out[family] = {
             "n": len(errs),
@@ -112,6 +132,11 @@ def main():
             "peak_sample_median_err": round(float(np.median(perrs)), 1),
             "peak_sample_within_40px": round(float((perrs <= 40).mean()), 3),
         }
+        if berrs:
+            b = np.asarray(berrs)
+            out[family]["bank_match_median_err"] = round(float(np.median(b)), 1)
+            out[family]["bank_match_within_20px"] = round(float((b <= 20).mean()), 3)
+            out[family]["bank_match_accuracy"] = round(float(np.mean(bmatch)), 3)
     print(json.dumps(out), flush=True)
 
 
