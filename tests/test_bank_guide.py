@@ -347,3 +347,45 @@ def test_bank_guide_entry_dive_rule():
     pos = jnp.array([260.0, 250.0], jnp.float32)
     gs, action, _ = stepj(gs, pos, jnp.float32(0.0), jnp.int32(4), bank, t)
     assert int(action) == 4
+
+
+def test_bank_guide_margin_deadline_fallback():
+    """``margin_until``: the margin requirement expires at the deadline —
+    an ambiguous bank (margin never satisfiable) still commits once the
+    flight passes the deadline with identity-stable evidence, and stays
+    blocked while the deadline is ahead (round-5 LES evidence A/B: the
+    hard margin's gate starvation, 88 -> 55%, is the cost this caps)."""
+    from tpu_plume.fields.gridded import FieldBank
+
+    cfg = EnvConfig(plume_model="gridded", plume_sigma=500 / 16)
+    g = cfg.grid_size
+    ix = jnp.arange(g, dtype=jnp.float32)[:, None]
+    iy = jnp.arange(g, dtype=jnp.float32)[None, :]
+
+    def gauss(src):
+        d2 = (ix - src[0]) ** 2 + (iy - src[1]) ** 2
+        return cfg.conc_peak * jnp.exp(-d2 / (2.0 * cfg.plume_sigma**2))
+
+    src_a = jnp.array([250.0, 250.0])
+    src_b = jnp.array([100.0, 400.0])
+    ambiguous = FieldBank(
+        conc=jnp.stack([gauss(src_a), gauss(src_a)]),
+        source=jnp.stack([src_a, src_b]),
+    )
+
+    def run(margin_until):
+        init, step = make_bank_guide(cfg, 2, margin=2.0,
+                                     margin_until=margin_until,
+                                     min_contact=2, check_every=1)
+        stepj = jax.jit(lambda gs, p, c, a, b, t: step(gs, p, c, a, b, t))
+        gs = init
+        t = jnp.zeros((), jnp.int32)
+        for i in range(12):
+            pos = jnp.array([240.0 + i * 2.0, 250.0], jnp.float32)
+            conc = gauss(src_a)[jnp.int32(pos[0]), jnp.int32(pos[1])]
+            gs, _, _ = stepj(gs, pos, conc, jnp.int32(3), ambiguous, t + i)
+        return bool(gs.est_ok)
+
+    assert not run(0)     # margin always on: duplicate rows never commit
+    assert not run(100)   # deadline ahead: still blocked
+    assert run(6)         # deadline passed mid-walk: identity gate commits

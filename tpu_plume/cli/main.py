@@ -457,8 +457,15 @@ def cmd_eval(args):
                          else args.guide_min_window),
             check_every=(1 if args.guide_check_every is None
                          else args.guide_check_every),
-            margin=(1.0 if args.guide_margin is None
+            # deadline-margin gate default (round-5 LES evidence A/B +
+            # wide validation): margin 1.5 with a 400-step deadline lifts
+            # the off-family LES band +4-7pp (64.0 vs 58.9) and is
+            # neutral-positive on-family (K=16 76.2 vs 75.8, K=64 55.5
+            # vs 56.2) while raising match accuracy everywhere
+            margin=(1.5 if args.guide_margin is None
                     else args.guide_margin),
+            margin_until=(400 if args.guide_margin_until is None
+                          else args.guide_margin_until),
             search_after=(50 if args.guide_search_after is None
                           else (None if args.guide_search_after < 0
                                 else args.guide_search_after)),
@@ -936,8 +943,16 @@ def build_parser():
     sp.add_argument("--guide-margin", type=float, default=None,
                     help="--guide bank score-margin gate: commit only when "
                          "the runner-up row's accumulated error exceeds the "
-                         "best row's by this ratio (default 1.0 = identity "
-                         "stability only; scale-free, ~1 under pure noise)")
+                         "best row's by this ratio (default 1.5 with the "
+                         "400-step deadline; 1.0 = identity stability "
+                         "only; scale-free, ~1 under pure noise)")
+    sp.add_argument("--guide-margin-until", type=int, default=None,
+                    help="--guide bank: require the score margin only "
+                         "before this flight step; after the deadline the "
+                         "gate reverts to identity-stability only (0 = "
+                         "margin always required; default 400).  Keeps "
+                         "the margin's 97-98%% gated accuracy without its "
+                         "gate starvation on evidence-poor flights")
     sp.add_argument("--guide-search-after", type=int, default=None,
                     help="contact-search fallback: with no in-plume sample "
                          "for this many steps, steer a resuming serpentine "

@@ -143,6 +143,7 @@ def make_bank_guide(
     check_every: int = 1,
     min_contact: int = 2,
     margin: float = 1.0,
+    margin_until: int = 0,
     search_after: int | None = 50,
     rim_guard: bool = True,
     rim_expire: int = 400,
@@ -231,7 +232,16 @@ def make_bank_guide(
         if margin > 1.0:
             # top-2 smallest scores: commit only when the runner-up's
             # accumulated error exceeds the best's by the margin ratio
-            stable = stable & (-neg2[1] > margin * -neg2[0])
+            margin_ok = -neg2[1] > margin * -neg2[0]
+            if margin_until > 0:
+                # DEADLINE fallback (round-5, from the LES evidence A/B):
+                # a hard margin fixes identification (97-98.5% when
+                # gated) but starves the gate (88 -> 55% on LES);
+                # requiring the margin only before ``margin_until``
+                # keeps the high-accuracy early commits and reverts to
+                # identity-stability gating for evidence-starved flights
+                margin_ok = margin_ok | (count >= margin_until)
+            stable = stable & margin_ok
         # STICKY once open: momentary argmin flips mid-dive otherwise
         # hand control back to the rim guard for a step (measured control
         # thrash at the rim); the dive target below follows the LATEST
