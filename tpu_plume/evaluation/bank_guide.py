@@ -58,7 +58,13 @@ compile-request constant, the HTTP-413 trap in CLAUDE.md):
     cadences (min_contact 2, check_every 1) commit on two reads and
     mis-identify ~17-25% of gated episodes; a margin recovers the
     accuracy without waiting for more contact when the evidence is
-    already unambiguous.
+    already unambiguous.  ``margin_until`` bounds the latency cost with
+    a DEADLINE: after that flight step the gate reverts to identity
+    stability only, so evidence-starved flights still dive instead of
+    never (round-5 LES study: a hard margin fixed identification,
+    97-98.5% when gated, but starved the gate 88 -> 55%; margin 1.5
+    with deadline 400 — the CLI default — keeps baseline gate rates
+    and lifts every measured band, RESULTS.md deadline-margin section).
   - once gated, ``guidance.phase_action`` drives the dive at the matched
     row's KNOWN source — same crossing geometry as the trilateration and
     learned guides.
