@@ -198,6 +198,51 @@ def stage_phasec():
     open(f"{R}/phasec.done", "w").write("DONE\n")
 
 
+def stage_c1band():
+    """bf16-update+f32-heads seeds 1/2: is C1's r50=43.9 seed noise?"""
+    wrec = ("--preset wrf_les --reward delta --obs-memory --envs 512 "
+            "--unroll 64 --minibatch 4096 --lr 1e-4 --no-csv "
+            "--episodes 400000")
+    for s in (1, 2):
+        out = f"{R}/wrf_ip02bfh_s{s}"
+        if not done(f"{out}/checkpoint"):
+            run_cli(f"train {wrec} --inplume-bonus 0.2 --seed {s} "
+                    f"--bf16-update --f32-heads --out {out}",
+                    f"{R}/c1b_train_s{s}.log")
+        lf = f"{R}/c1b_eval_s{s}.log"
+        if not (done(lf) and "bullseye" in open(lf).read()):
+            run_ride(f"{out}/checkpoint", lf)
+    open(f"{R}/c1band.done", "w").write("DONE\n")
+
+
+def stage_g64band():
+    """K=64 guard_top training-seed band (the 56.2 row is single-seed)."""
+    rec = ("--preset wrf_les --plume-model gridded --synth-bank static "
+           "--bank-fields 64 --reward delta --obs-memory --envs 512 "
+           "--unroll 64 --minibatch 4096 --lr 1e-4")
+    for s in (0, 1, 2):
+        out = f"{R}/grid64b_s{s}"
+        if not done(f"{out}/checkpoint"):
+            run_cli(f"train {rec} --inplume-bonus 0.2 --seed {s} "
+                    f"--episodes 400000 --no-csv --out {out}",
+                    f"{R}/g64sb_train_s{s}.log")
+        lf = f"{R}/g64sb_eval_s{s}.log"
+        if not (done(lf) and "success_rate" in open(lf).read()):
+            run_cli(f"eval {rec} --ckpt {out}/checkpoint --episodes 1000 "
+                    "--seed 0 --guide bank --guide-guard-top 4", lf)
+    open(f"{R}/g64band.done", "w").write("DONE\n")
+
+
+def stage_isobull():
+    """Fresh-container reproduction of the 97.2% iso bullseye headline."""
+    lf = f"{R}/iso_bullseye.log"
+    if not (done(lf) and "success_rate" in open(lf).read()):
+        run_cli("eval --preset ppo_v2_0 --reward delta --obs-memory "
+                f"--ckpt {R}/iso_s0/checkpoint --episodes 1000 --seed 0 "
+                "--guide fit --goal-radius 5 --sample", lf)
+    open(f"{R}/isobull.done", "w").write("DONE\n")
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     stages = "seedband,grid16,les,phasec"
@@ -207,7 +252,8 @@ def main():
         log(f"=== stage {s}")
         {"seedband": stage_seedband, "grid16": stage_grid16,
          "les": stage_les, "les_band": stage_les_band,
-         "phasec": stage_phasec}[s]()
+         "phasec": stage_phasec, "c1band": stage_c1band,
+         "g64band": stage_g64band, "isobull": stage_isobull}[s]()
         log(f"=== stage {s} complete")
     log("ALL DONE")
 
