@@ -177,7 +177,13 @@ def make_bank_guide(
     # ball with ~7 px/step turbulence displacement was the residual
     # accident pool (33% of correctly-identified dives entering at
     # deviation 47-50)
-    deep_take = min(success_radius - 5.0, 0.9 * terminate_radius)
+    # round-5 precision-protocol note: at terminate_radius 5 the old
+    # 0.9*r bound (4.5) made the controller WAIT for a sub-4.5-px landing
+    # with 10-px quantized moves — flights averaged 405 endgame-heavy
+    # steps and ~15% burned the budget.  Accepting ANY in-ball landing
+    # (bound = r) is identical at the r50 protocol (min() unchanged) and
+    # only widens the take window where the ball is tiny.
+    deep_take = min(success_radius - 5.0, float(terminate_radius))
     setup_distance = cfg.grid_size * cfg.move_frac + min(
         deep_target + 3.0, deep_take - 1.0)
     noise_mean = cfg.turbulence_intensity * (0.7978845608 + 0.1)
